@@ -1,0 +1,120 @@
+"""Experiment configuration.
+
+Reference parity: mirrors every key of the reference's class-attribute
+singleton (reference config.py:19-52) plus the per-dataset JOINT/STEP/EPOCH
+tables (config.py:1-18), re-expressed as a frozen-free dataclass so configs
+are explicit values rather than process-global state.  TPU-specific knobs
+(mesh shape, dtypes, matmul precision, pallas toggle) are additive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+# Per-dataset tables (reference config.py:1-18).
+JOINT = {"nyu": 14, "icvl": 16, "msra": 21, "hands17": 21}
+STEP = {"nyu": 30, "icvl": 10, "msra": 10, "hands17": 5}
+EPOCH = {"nyu": 40, "icvl": 40, "msra": 25, "hands17": 10}
+
+# NYU camera intrinsics (fx, fy, u0, v0) (reference nyu_loader.py:23).
+NYU_PARAS = (588.03, 587.07, 320.0, 240.0)
+
+
+@dataclasses.dataclass
+class Config:
+    """All knobs for data, model, optimization and evaluation.
+
+    Defaults follow the reference's published NYU recipe
+    (reference config.py:19-52).
+    """
+
+    # --- experiment bookkeeping (reference config.py:20-27) ---
+    exp_id: str = "nyu_hourglass"
+    log_id: str = "dense"
+    data_dir: str = "./data"
+    dataset: str = "nyu"
+    output_dir: str = "./output/"
+    load_model: str = ""  # checkpoint dir to resume/eval from ('' = fresh)
+
+    # --- geometry / data (reference config.py:29-37) ---
+    jt_num: int = JOINT["nyu"]
+    cube: Tuple[float, float, float] = (300.0, 300.0, 300.0)
+    # (sigma_trans mm, sigma_scale, sigma_rot deg) (reference config.py:31)
+    augment_para: Tuple[float, float, float] = (10.0, 0.1, 180.0)
+    img_size: int = 128
+    batch_size: int = 32
+    num_workers: int = 8  # host-side prefetch threads (reference: loader procs)
+
+    # --- model (reference config.py:33-34) ---
+    net: str = "hourglass_1"  # 'hourglass_<nstack>' | 'resnet_{18,50,101,152}'
+    downsample: int = 2  # output stride in {1,2,4}
+
+    # --- optimization (reference config.py:38-47) ---
+    max_epoch: int = EPOCH["nyu"]
+    loss_type: str = "MyL1Loss"
+    dense_weight: float = 1.0
+    coord_weight: float = 0.0
+    kernel_size: float = 0.4  # 0.4 for hourglass, 1.0 for resnet (config.py:42)
+    lr: float = 1e-3
+    optimizer: str = "adam"  # 'adam' | 'sgd'
+    scheduler: str = "step"  # 'step' | 'auto' (ReduceLROnPlateau)
+    step: int = STEP["nyu"]
+    weight_decay: float = 0.0
+    print_freq: int = 100
+    vis_freq: int = 1
+
+    # --- TPU-native additions (no reference counterpart; SURVEY.md §5.8) ---
+    # Data-parallel mesh axis size; None = all local devices.
+    mesh_devices: Optional[int] = None
+    # Parameter / compute dtypes. Parity runs use float32; production bf16.
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+    # jax matmul precision: 'default' | 'high' | 'highest'.
+    matmul_precision: str = "highest"
+    # Use the fused Pallas decode kernel when on TPU.
+    use_pallas: bool = True
+    # Supervise all hourglass stacks in one fused fwd/bwd (True, recommended)
+    # or only the last stack (False: strict reference behavior — the reference
+    # loop at train.py:116-121 overwrites `loss` per stage so only the last
+    # stack's loss is backpropagated, recomputing the forward nstack times).
+    supervise_all_stacks: bool = True
+    # RNG seed for params/augmentation.
+    seed: int = 23455
+
+    @property
+    def feature_size(self) -> int:
+        """Side of the dense 4J-channel output map (reference train.py:110)."""
+        return self.img_size // self.downsample
+
+    @property
+    def nstack(self) -> int:
+        if self.net.startswith("hourglass"):
+            return int(self.net.split("_")[-1])
+        return 1
+
+    @property
+    def paras(self) -> Tuple[float, float, float, float]:
+        if self.dataset == "nyu":
+            return NYU_PARAS
+        raise NotImplementedError(f"unknown dataset {self.dataset!r}")
+
+    @property
+    def flip(self) -> int:
+        # NYU flips the y axis in xyz<->uvd transforms (nyu_loader.py:34).
+        return -1 if self.dataset == "nyu" else 1
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def resnet_config(layers: int = 18, **kw) -> Config:
+    """Reference resnet recipe: kernel_size 1.0 (reference config.py:42)."""
+    kw.setdefault("kernel_size", 1.0)
+    kw.setdefault("exp_id", f"nyu_resnet{layers}")
+    return Config(net=f"resnet_{layers}", **kw)
+
+
+def hourglass_config(nstack: int = 1, **kw) -> Config:
+    kw.setdefault("kernel_size", 0.4)
+    return Config(net=f"hourglass_{nstack}", **kw)
