@@ -1,0 +1,288 @@
+"""Fused device-side depth preprocessing under jit (static shapes).
+
+The reference does crop -> z-clip -> NEAREST resize -> center-pad ->
+normalize on host CPU inside DataLoader workers (loader.py:19-51,88-101,
+nyu_loader.py:38-66).  Here the whole chain is ONE gather expression per
+output pixel, jitted and vmapped over the batch, so raw (H0, W0) depth
+frames stream to the device and the crop/normalize executes on the VPU —
+no per-sample host work, no dynamic shapes.
+
+Semantics notes (each is asserted equal to the host path in tests):
+- crop bounds use trunc(x + 0.5) like the reference's ``int()``
+  (loader.py:183-188; trunc != floor for negative starts);
+- NEAREST resize uses cv2 index semantics ``src = min(floor(dst*scale), n-1)``;
+- the z-threshold maps nonzero depth below zstart to zstart and above
+  zend to 0 (loader.py:202-205);
+- normalize maps {exact 0, exact pre-aug max} to background
+  ``center_z + cube_z/2`` then clips to the cube (loader.py:88-101).
+
+Train-time augmentation (choose-one of {trans, scale, rot, none},
+loader.py:53-86) is implemented as inverse-affine bilinear gathers
+(float bilinear; cv2 uses 5-bit fixed point — parity is approximate for
+warped pixels, exact for all label math).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from awr_tpu.geometry import rotate_pts_uv, uvd2xyz, xyz2uvd
+
+
+def _bounds(center_uvd, cube, paras):
+    """trunc(x+0.5) crop bounds (reference loader.py:181-188)."""
+    fx, fy = paras[0], paras[1]
+    cz = center_uvd[2]
+    half_u = (cube[0] / 2.0) / cz * fx
+    half_v = (cube[1] / 2.0) / cz * fy
+    ustart = jnp.trunc(center_uvd[0] - half_u + 0.5).astype(jnp.int32)
+    uend = jnp.trunc(center_uvd[0] + half_u + 0.5).astype(jnp.int32)
+    vstart = jnp.trunc(center_uvd[1] - half_v + 0.5).astype(jnp.int32)
+    vend = jnp.trunc(center_uvd[1] + half_v + 0.5).astype(jnp.int32)
+    zstart = cz - cube[2] / 2.0
+    zend = cz + cube[2] / 2.0
+    return ustart, uend, vstart, vend, zstart, zend
+
+
+def _transmat(ustart, uend, vstart, vend, dsize: int):
+    """Crop affine M (reference loader.py:210-240), traced scalars."""
+    w = (uend - ustart).astype(jnp.float32)
+    h = (vend - vstart).astype(jnp.float32)
+    scale = jnp.minimum(dsize / w, dsize / h)
+    sw = jnp.trunc(w * scale)
+    sh = jnp.trunc(h * scale)
+    tx = jnp.floor(dsize / 2.0 - sw / 2.0).astype(jnp.int32)
+    ty = jnp.floor(dsize / 2.0 - sh / 2.0).astype(jnp.int32)
+    M = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    M = M.at[0, 0].set(scale).at[1, 1].set(scale)
+    M = M.at[0, 2].set(-ustart * scale + tx)
+    M = M.at[1, 2].set(-vstart * scale + ty)
+    return M, scale, sw.astype(jnp.int32), sh.astype(jnp.int32), tx, ty
+
+
+def _z_threshold(val, zstart, zend):
+    nz = val != 0
+    val = jnp.where(nz & (val < zstart), zstart, val)
+    return jnp.where(nz & (val > zend), 0.0, val)
+
+
+def crop_raw(img, center_uvd, cube, paras, dsize: int):
+    """Crop one raw (H0, W0) mm-depth frame to (dsize, dsize) mm depth.
+
+    Fused equivalent of reference loader.py:19-51 *before* normalize:
+    returns (cropped mm image, M).  Pure gather, jit/vmap-safe.
+    """
+    H0, W0 = img.shape
+    us, ue, vs, ve, zs, ze = _bounds(center_uvd, cube, paras)
+    M, scale, sw, sh, tx, ty = _transmat(us, ue, vs, ve, dsize)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (dsize, dsize), 0)  # out row
+    jj = jax.lax.broadcasted_iota(jnp.int32, (dsize, dsize), 1)  # out col
+    in_paste = (ii >= ty) & (ii < ty + sh) & (jj >= tx) & (jj < tx + sw)
+
+    # cv2 INTER_NEAREST: src = min(floor(dst * src_n / dst_n), src_n - 1)
+    crop_w = (ue - us).astype(jnp.float32)
+    crop_h = (ve - vs).astype(jnp.float32)
+    cu = jnp.minimum(
+        jnp.floor((jj - tx).astype(jnp.float32) * crop_w
+                  / jnp.maximum(sw, 1).astype(jnp.float32)).astype(jnp.int32),
+        ue - us - 1,
+    )
+    cv = jnp.minimum(
+        jnp.floor((ii - ty).astype(jnp.float32) * crop_h
+                  / jnp.maximum(sh, 1).astype(jnp.float32)).astype(jnp.int32),
+        ve - vs - 1,
+    )
+    su = us + cu
+    sv = vs + cv
+    in_img = (su >= 0) & (su < W0) & (sv >= 0) & (sv < H0)
+    val = img[jnp.clip(sv, 0, H0 - 1), jnp.clip(su, 0, W0 - 1)]
+    val = jnp.where(in_img, val, 0.0)
+    val = _z_threshold(val, zs, ze)
+    return jnp.where(in_paste, val, 0.0).astype(jnp.float32), M
+
+
+def normalize(img, depth_max, center_z, cube_z):
+    """mm depth -> [-1, 1], bg -> +1 (reference loader.py:88-101)."""
+    bg = center_z + cube_z / 2.0
+    img = jnp.where((img == depth_max) | (img == 0), bg, img)
+    img = jnp.clip(img, center_z - cube_z / 2.0, bg)
+    return (img - center_z) / (cube_z / 2.0)
+
+
+@functools.partial(jax.jit, static_argnames=("dsize",))
+def crop_normalize_batch(imgs, centers_uvd, cubes, paras, dsize: int):
+    """Eval-path preprocessing for a batch of raw frames.
+
+    Args:
+      imgs: (B, H0, W0) raw mm depth.
+      centers_uvd: (B, 3); cubes: (B, 3); paras: (4,) intrinsics.
+    Returns:
+      (B, dsize, dsize) normalized depth in [-1, 1] and (B, 3, 3) M.
+    """
+
+    def one(img, c, cube):
+        crop, M = crop_raw(img, c, cube, paras, dsize)
+        return normalize(crop, crop.max(), c[2], cube[2]), M
+
+    return jax.vmap(one)(imgs, centers_uvd, cubes)
+
+
+# --------------------------------------------------------------------------
+# Train-path: choose-one augmentation on device.
+# --------------------------------------------------------------------------
+
+
+def _bilinear_sample(img, x, y):
+    """Bilinear sample (dsize, dsize) image at float coords, border 0."""
+    H, W = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(ok, v, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+            + (v10 * (1 - fx) + v11 * fx) * fy)
+
+
+def _warp_affine_inv(img, A_inv, dsize: int):
+    """dst(i,j) = bilinear(src, A_inv @ (j,i,1)); border constant 0."""
+    ii = jax.lax.broadcasted_iota(jnp.float32, (dsize, dsize), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (dsize, dsize), 1)
+    sx = A_inv[0, 0] * jj + A_inv[0, 1] * ii + A_inv[0, 2]
+    sy = A_inv[1, 0] * jj + A_inv[1, 1] * ii + A_inv[1, 2]
+    return _bilinear_sample(img, sx, sy)
+
+
+def _recrop(img, center_uvd, cube, new_M, M_inv, paras, dsize: int):
+    """Device twin of reference loader.py:125-138 (warp + outlier + z-clip)."""
+    A = new_M @ M_inv
+    A_inv = jnp.linalg.inv(A)
+    pos_min = jnp.min(jnp.where(img > 0, img, jnp.inf))
+    nv_val = pos_min - 1.0
+    out = _warp_affine_inv(img, A_inv, dsize)
+    out = jnp.where(out < nv_val, 0.0, out)
+    _, _, _, _, zs, ze = _bounds(center_uvd, cube, paras)
+    return _z_threshold(out, zs, ze)
+
+
+def augment_one(img, jt_xyz, center_uvd, cube, paras, flip,
+                aug_op, trans, scale, rot, dsize: int):
+    """Device twin of reference loader.py:75-86 on an mm-depth crop.
+
+    ``aug_op`` is an int32 index into (trans, scale, rot, none) —
+    dispatched with lax.switch so the whole thing stays jittable.
+    Returns (img_normalized, jt_xyz, cube, center_uvd, M).
+    """
+    depth_max = img.max()
+    M = _transmat(*_bounds(center_uvd, cube, paras)[:4], dsize)[0]
+
+    def do_trans(_):
+        center_xyz = uvd2xyz(center_uvd, paras, flip)
+        new_center = xyz2uvd(center_xyz + trans, paras, flip)
+        new_M = _transmat(*_bounds(new_center, cube, paras)[:4], dsize)[0]
+        ok = jnp.logical_or(~jnp.isclose(center_uvd[2], 0.0),
+                            jnp.isclose(new_center[2], 0.0))
+        new_img = _recrop(img, new_center, cube, new_M,
+                          jnp.linalg.inv(M), paras, dsize)
+        new_jt = jt_xyz + center_xyz - uvd2xyz(new_center, paras, flip)
+        return (jnp.where(ok, new_img, img), new_jt, cube, new_center,
+                jnp.where(ok, new_M, M))
+
+    def do_scale(_):
+        new_cube = cube * scale
+        new_M = _transmat(*_bounds(center_uvd, new_cube, paras)[:4], dsize)[0]
+        ok = ~jnp.isclose(center_uvd[2], 0.0)
+        new_img = _recrop(img, center_uvd, new_cube, new_M,
+                          jnp.linalg.inv(M), paras, dsize)
+        return (jnp.where(ok, new_img, img), jt_xyz, new_cube, center_uvd,
+                jnp.where(ok, new_M, M))
+
+    def do_rot(_):
+        r = jnp.mod(rot, 360.0)
+        a = -r * jnp.pi / 180.0  # cv2 getRotationMatrix2D(angle=-rot)
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        cx, cy = dsize // 2, dsize // 2
+        # forward 3x3 of cv2's 2x3; invert for sampling
+        A = jnp.array(
+            [[ca, sa, (1 - ca) * cx - sa * cy],
+             [-sa, ca, sa * cx + (1 - ca) * cy],
+             [0.0, 0.0, 1.0]]
+        )
+        new_img = _warp_affine_inv(img, jnp.linalg.inv(A), dsize)
+        center_xyz = uvd2xyz(center_uvd, paras, flip)
+        jt_uvd = xyz2uvd(jt_xyz + center_xyz, paras, flip)
+        jt_uvd = rotate_pts_uv(jt_uvd, center_uvd, r)
+        new_jt = uvd2xyz(jt_uvd, paras, flip) - center_xyz
+        return new_img, new_jt, cube, center_uvd, M
+
+    def do_none(_):
+        return img, jt_xyz, cube, center_uvd, M
+
+    img, jt_xyz, cube, center_uvd, M = jax.lax.switch(
+        aug_op, [do_trans, do_scale, do_rot, do_none], None
+    )
+    img = normalize(img, depth_max, center_uvd[2], cube[2])
+    return img, jt_xyz, cube, center_uvd, M
+
+
+def draw_augment_params(key, batch: int, sigma_trans=10.0, sigma_scale=0.1,
+                        sigma_rot=180.0):
+    """jax.random twin of reference loader.py:53-73 (different RNG stream;
+    same distributions).  Returns (op (B,), trans (B,3), scale (B,), rot (B,))."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    op = jax.random.randint(k1, (batch,), 0, 4)
+    trans = jax.random.normal(k2, (batch, 3)) * sigma_trans
+    scale = jnp.abs(1.0 + jax.random.normal(k3, (batch,)) * sigma_scale)
+    rot = jax.random.uniform(k4, (batch,), minval=-sigma_rot,
+                             maxval=sigma_rot)
+    return op, trans, scale, rot
+
+
+@functools.partial(jax.jit, static_argnames=("dsize", "flip"))
+def train_preprocess_batch(imgs, jt_xyz, centers_uvd, cubes, paras,
+                           aug_params, dsize: int, flip: int):
+    """Full train-path device preprocessing for a batch of raw frames:
+    crop -> one-of-four augment -> normalize -> label normalization
+    (reference nyu_loader.py:38-66).
+
+    Returns dict with img (B,S,S), jt_xyz/jt_uvd (B,J,3) normalized,
+    center_xyz (B,3), M (B,3,3), cube (B,3).
+    """
+    op, trans, scale, rot = aug_params
+
+    def one(img, jt, c_uvd, cube, op_i, t_i, s_i, r_i):
+        crop, _ = crop_raw(img, c_uvd, cube, paras, dsize)
+        img_n, jt, cube, c_uvd, M = augment_one(
+            crop, jt, c_uvd, cube, paras, flip, op_i, t_i, s_i, r_i, dsize)
+        center_xyz = uvd2xyz(c_uvd, paras, flip)
+        jt_uvd = xyz2uvd(jt + center_xyz, paras, flip)
+        uv1 = jnp.concatenate([jt_uvd[:, :2], jnp.ones_like(jt_uvd[:, :1])], -1)
+        uv = (M @ uv1.T).T
+        jt_uvd_px = jnp.concatenate([uv[:, :2] / uv[:, 2:], jt_uvd[:, 2:]], -1)
+        jt_uvd_n = jnp.stack(
+            [jt_uvd_px[:, 0] / (dsize / 2.0) - 1,
+             jt_uvd_px[:, 1] / (dsize / 2.0) - 1,
+             (jt_uvd_px[:, 2] - center_xyz[2]) / (cube[2] / 2.0)], -1)
+        jt_xyz_n = jt / (cube / 2.0)
+        return img_n, jt_xyz_n, jt_uvd_n, center_xyz, M, cube
+
+    img_n, jt_xyz_n, jt_uvd_n, center_xyz, M, cube = jax.vmap(one)(
+        imgs, jt_xyz, centers_uvd, cubes, op, trans, scale, rot)
+    return dict(img=img_n, jt_xyz=jt_xyz_n, jt_uvd=jt_uvd_n,
+                center_xyz=center_xyz, M=M, cube=cube)

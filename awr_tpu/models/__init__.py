@@ -1,0 +1,23 @@
+"""Backbones emitting dense 4J-channel AWR maps (NHWC).
+
+- :mod:`awr_tpu.models.resnet`: ResNet-{18,50,101,152} encoder + deconv
+  decoder (reference model/resnet_deconv.py).
+- :mod:`awr_tpu.models.hourglass`: stacked Hourglass with intermediate
+  supervision (reference model/hourglass.py).
+- :func:`build_model`: reference-style net-string factory
+  ('resnet_18' | 'hourglass_2' | ...; reference train.py:51-57).
+"""
+
+from awr_tpu.models.hourglass import PoseNet  # noqa: F401
+from awr_tpu.models.resnet import ResNetDeconv, get_deconv_net  # noqa: F401
+
+
+def build_model(net: str, joint_num: int, downsample: int = 2):
+    """Net-string factory (reference train.py:51-57, test.py:37-42)."""
+    if net.startswith("resnet"):
+        layers = int(net.split("_")[1])
+        return get_deconv_net(layers, joint_num, downsample)
+    if net.startswith("hourglass"):
+        nstack = int(net.split("_")[1])
+        return PoseNet(nstack=nstack, joint_num=joint_num)
+    raise ValueError(f"unknown net {net!r}")

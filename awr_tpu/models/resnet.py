@@ -1,0 +1,179 @@
+"""ResNet encoder + deconv decoder emitting dense 4J-channel AWR maps.
+
+Reference parity: model/resnet_deconv.py — depth-1-channel ResNet
+{18: (Basic, [2,2,2,2]), 50/101/152: (Bottleneck, ...)} (ref :9-13), 5x5
+stride-1 stem + 3x3 stride-2 maxpool (ref :31-36), stage strides
+(1,2,2,2) to /32, then ``4 - log2(downsample)`` ConvTranspose(k4 s2 p1,
+256ch, no bias)+BN+ReLU decoder (ref :45-49,73-91), and two 1x1 heads
+(3J offset vectors, J heatmaps) concatenated to 4J channels (ref :52-53,
+133-136).  Init distributions per ref :93-115 (He fan-out for encoder
+convs, N(0, .001) for deconvs and heads).
+
+TPU-first: NHWC layout, explicit torch-style padding (so strided convs
+sample identical positions — required for torch weight import parity),
+bf16-able compute dtype with fp32 params/BN.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from awr_tpu.models.common import (
+    batch_norm,
+    he_fanout_normal,
+    max_pool_torch,
+    normal_001,
+)
+
+# depth -> (block kind, per-stage block counts) (reference resnet_deconv.py:9-13)
+RESNET_SPECS = {
+    18: ("basic", (2, 2, 2, 2)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+    pad = (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=False,
+        kernel_init=he_fanout_normal(),
+        dtype=dtype,
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    """3x3 + 3x3 residual block (reference resnet_deconv.py:145-174)."""
+
+    planes: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = _conv(self.planes, 3, self.stride, "conv1", self.dtype)(x)
+        out = batch_norm(train, self.dtype, "bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, "conv2", self.dtype)(out)
+        out = batch_norm(train, self.dtype, "bn2")(out)
+        if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
+            residual = _conv(
+                self.planes * self.expansion, 1, self.stride,
+                "downsample_conv", self.dtype,
+            )(x)
+            residual = batch_norm(train, self.dtype, "downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1(x4) residual block (reference resnet_deconv.py:177-215)."""
+
+    planes: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = _conv(self.planes, 1, 1, "conv1", self.dtype)(x)
+        out = batch_norm(train, self.dtype, "bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, self.stride, "conv2", self.dtype)(out)
+        out = batch_norm(train, self.dtype, "bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * self.expansion, 1, 1, "conv3", self.dtype)(out)
+        out = batch_norm(train, self.dtype, "bn3")(out)
+        if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
+            residual = _conv(
+                self.planes * self.expansion, 1, self.stride,
+                "downsample_conv", self.dtype,
+            )(x)
+            residual = batch_norm(train, self.dtype, "downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class ResNetDeconv(nn.Module):
+    """Full backbone: (B, H, W, 1) depth -> (B, H/ds, W/ds, 4J) dense map."""
+
+    joint_num: int = 14
+    block: str = "basic"  # 'basic' | 'bottleneck'
+    layers: Sequence[int] = (2, 2, 2, 2)
+    downsample: int = 2  # output stride in {1, 2, 4}
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.downsample in (1, 2, 4), self.downsample
+        block_cls = BasicBlock if self.block == "basic" else Bottleneck
+        x = x.astype(self.dtype)
+
+        # Stem (reference :31-36): conv5 s1 + BN + ReLU + maxpool3 s2 p1.
+        x = _conv(64, 5, 1, "pre_conv", self.dtype)(x)
+        x = batch_norm(train, self.dtype, "pre_bn")(x)
+        x = nn.relu(x)
+        x = max_pool_torch(x, 3, 2, 1)
+
+        # Stages at strides (1, 2, 2, 2) (reference :39-43).
+        for stage, (planes, blocks, stride) in enumerate(
+            zip((64, 128, 256, 512), self.layers, (1, 2, 2, 2)), start=1
+        ):
+            for i in range(blocks):
+                x = block_cls(
+                    planes,
+                    stride if i == 0 else 1,
+                    self.dtype,
+                    name=f"layer{stage}_{i}",
+                )(x, train)
+
+        # Deconv decoder (reference :45-49, 73-91): /32 back up to /downsample.
+        deconv_num = 4 - int(np.log2(self.downsample))
+        for i in range(deconv_num):
+            x = nn.ConvTranspose(
+                256,
+                (4, 4),
+                strides=(2, 2),
+                padding="SAME",  # == torch ConvTranspose2d(k4, s2, p1)
+                use_bias=False,
+                transpose_kernel=True,  # torch (in,out,kh,kw) convention
+                kernel_init=normal_001(),
+                dtype=self.dtype,
+                name=f"deconv{i}",
+            )(x)
+            x = batch_norm(train, self.dtype, f"deconv_bn{i}")(x)
+            x = nn.relu(x)
+
+        # Heads (reference :52-53, 108-115): N(0,.001) weights, zero bias.
+        head = dict(
+            kernel_init=normal_001(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )
+        vec = nn.Conv(self.joint_num * 3, (1, 1), name="final1", **head)(x)
+        ht = nn.Conv(self.joint_num, (1, 1), name="final2", **head)(x)
+        return jnp.concatenate([vec, ht], axis=-1).astype(jnp.float32)
+
+
+def get_deconv_net(layers: int, joint_num: int, downsample: int,
+                   dtype=jnp.float32) -> ResNetDeconv:
+    """Factory matching reference resnet_deconv.py:8-16."""
+    block, layer_sizes = RESNET_SPECS[layers]
+    return ResNetDeconv(
+        joint_num=joint_num,
+        block=block,
+        layers=layer_sizes,
+        downsample=downsample,
+        dtype=dtype,
+    )
