@@ -5,11 +5,18 @@ normalize on host CPU inside DataLoader workers (loader.py:19-51,88-101,
 nyu_loader.py:38-66).  Here the whole chain is ONE gather expression per
 output pixel, jitted and vmapped over the batch, so raw (H0, W0) depth
 frames stream to the device and the crop/normalize executes on the VPU —
-no per-sample host work, no dynamic shapes.
+no per-sample host image work, no dynamic shapes.
 
-Semantics notes (each is asserted equal to the host path in tests):
-- crop bounds use trunc(x + 0.5) like the reference's ``int()``
-  (loader.py:183-188; trunc != floor for negative starts);
+Split of labor:
+- A handful of *scalar* crop parameters per sample (bounds, resize size,
+  paste offsets, affine M) are computed on host in float64 by
+  :func:`awr_tpu.data.transforms.crop_params_np`, because the reference's
+  ``int()`` truncations (loader.py:183-188,230,237-238) sit right on
+  integer boundaries that f32 can land on the wrong side of.
+- All *pixel* work (the (B, H0, W0) -> (B, S, S) gather, z-threshold,
+  normalize, augmentation warps) runs on device.
+
+Semantics notes (asserted equal to the host path in tests):
 - NEAREST resize uses cv2 index semantics ``src = min(floor(dst*scale), n-1)``;
 - the z-threshold maps nonzero depth below zstart to zstart and above
   zend to 0 (loader.py:202-205);
@@ -19,22 +26,26 @@ Semantics notes (each is asserted equal to the host path in tests):
 Train-time augmentation (choose-one of {trans, scale, rot, none},
 loader.py:53-86) is implemented as inverse-affine bilinear gathers
 (float bilinear; cv2 uses 5-bit fixed point — parity is approximate for
-warped pixels, exact for all label math).
+warped pixels, exact for all label math; augmented crops' bounds are
+recomputed in f32 on device, which can differ from the reference by one
+source pixel — both are random train-time jitter).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from awr_tpu.data.transforms import crop_params_np
 from awr_tpu.geometry import rotate_pts_uv, uvd2xyz, xyz2uvd
 
 
-def _bounds(center_uvd, cube, paras):
-    """trunc(x+0.5) crop bounds (reference loader.py:181-188)."""
+def _bounds_f32(center_uvd, cube, paras):
+    """On-device trunc(x+0.5) crop bounds (reference loader.py:181-188);
+    used only for augmented re-crops, see module docstring."""
     fx, fy = paras[0], paras[1]
     cz = center_uvd[2]
     half_u = (cube[0] / 2.0) / cz * fx
@@ -48,20 +59,20 @@ def _bounds(center_uvd, cube, paras):
     return ustart, uend, vstart, vend, zstart, zend
 
 
-def _transmat(ustart, uend, vstart, vend, dsize: int):
-    """Crop affine M (reference loader.py:210-240), traced scalars."""
+def _transmat_f32(ustart, uend, vstart, vend, dsize: int):
+    """On-device crop affine M (reference loader.py:210-240)."""
     w = (uend - ustart).astype(jnp.float32)
     h = (vend - vstart).astype(jnp.float32)
     scale = jnp.minimum(dsize / w, dsize / h)
     sw = jnp.trunc(w * scale)
     sh = jnp.trunc(h * scale)
-    tx = jnp.floor(dsize / 2.0 - sw / 2.0).astype(jnp.int32)
-    ty = jnp.floor(dsize / 2.0 - sh / 2.0).astype(jnp.int32)
-    M = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    tx = jnp.floor(dsize / 2.0 - sw / 2.0)
+    ty = jnp.floor(dsize / 2.0 - sh / 2.0)
+    M = jnp.eye(3, dtype=jnp.float32)
     M = M.at[0, 0].set(scale).at[1, 1].set(scale)
     M = M.at[0, 2].set(-ustart * scale + tx)
     M = M.at[1, 2].set(-vstart * scale + ty)
-    return M, scale, sw.astype(jnp.int32), sh.astype(jnp.int32), tx, ty
+    return M
 
 
 def _z_threshold(val, zstart, zend):
@@ -70,21 +81,17 @@ def _z_threshold(val, zstart, zend):
     return jnp.where(nz & (val > zend), 0.0, val)
 
 
-def crop_raw(img, center_uvd, cube, paras, dsize: int):
-    """Crop one raw (H0, W0) mm-depth frame to (dsize, dsize) mm depth.
+def _crop_gather(img, us, ue, vs, ve, zs, ze, sw, sh, tx, ty, dsize: int):
+    """Crop one raw (H0, W0) mm frame to (dsize, dsize) mm (pre-normalize).
 
-    Fused equivalent of reference loader.py:19-51 *before* normalize:
-    returns (cropped mm image, M).  Pure gather, jit/vmap-safe.
+    Fused equivalent of reference loader.py:19-51: slice/pad crop,
+    z-threshold, cv2-NEAREST resize, center pad — as one gather.
     """
     H0, W0 = img.shape
-    us, ue, vs, ve, zs, ze = _bounds(center_uvd, cube, paras)
-    M, scale, sw, sh, tx, ty = _transmat(us, ue, vs, ve, dsize)
-
     ii = jax.lax.broadcasted_iota(jnp.int32, (dsize, dsize), 0)  # out row
     jj = jax.lax.broadcasted_iota(jnp.int32, (dsize, dsize), 1)  # out col
     in_paste = (ii >= ty) & (ii < ty + sh) & (jj >= tx) & (jj < tx + sw)
 
-    # cv2 INTER_NEAREST: src = min(floor(dst * src_n / dst_n), src_n - 1)
     crop_w = (ue - us).astype(jnp.float32)
     crop_h = (ve - vs).astype(jnp.float32)
     cu = jnp.minimum(
@@ -103,7 +110,7 @@ def crop_raw(img, center_uvd, cube, paras, dsize: int):
     val = img[jnp.clip(sv, 0, H0 - 1), jnp.clip(su, 0, W0 - 1)]
     val = jnp.where(in_img, val, 0.0)
     val = _z_threshold(val, zs, ze)
-    return jnp.where(in_paste, val, 0.0).astype(jnp.float32), M
+    return jnp.where(in_paste, val, 0.0).astype(jnp.float32)
 
 
 def normalize(img, depth_max, center_z, cube_z):
@@ -115,21 +122,35 @@ def normalize(img, depth_max, center_z, cube_z):
 
 
 @functools.partial(jax.jit, static_argnames=("dsize",))
+def _crop_normalize_kernel(imgs, p, center_z, cube_z, dsize: int):
+    def one(img, us, ue, vs, ve, zs, ze, sw, sh, tx, ty, cz, cbz):
+        crop = _crop_gather(img, us, ue, vs, ve, zs, ze, sw, sh, tx, ty,
+                            dsize)
+        return normalize(crop, crop.max(), cz, cbz)
+
+    return jax.vmap(one)(imgs, p["us"], p["ue"], p["vs"], p["ve"], p["zs"],
+                         p["ze"], p["sw"], p["sh"], p["tx"], p["ty"],
+                         center_z, cube_z)
+
+
 def crop_normalize_batch(imgs, centers_uvd, cubes, paras, dsize: int):
     """Eval-path preprocessing for a batch of raw frames.
 
     Args:
-      imgs: (B, H0, W0) raw mm depth.
-      centers_uvd: (B, 3); cubes: (B, 3); paras: (4,) intrinsics.
+      imgs: (B, H0, W0) raw mm depth (device or host array).
+      centers_uvd: (B, 3) host array; cubes: (B, 3); paras: intrinsics.
     Returns:
       (B, dsize, dsize) normalized depth in [-1, 1] and (B, 3, 3) M.
     """
-
-    def one(img, c, cube):
-        crop, M = crop_raw(img, c, cube, paras, dsize)
-        return normalize(crop, crop.max(), c[2], cube[2]), M
-
-    return jax.vmap(one)(imgs, centers_uvd, cubes)
+    p_np = crop_params_np(np.asarray(centers_uvd), np.asarray(cubes),
+                          np.asarray(paras), dsize)
+    M = p_np.pop("M")
+    p = {k: jnp.asarray(v) for k, v in p_np.items()}
+    out = _crop_normalize_kernel(
+        jnp.asarray(imgs), p,
+        jnp.asarray(np.asarray(centers_uvd)[:, 2], jnp.float32),
+        jnp.asarray(np.asarray(cubes)[:, 2], jnp.float32), dsize)
+    return out, jnp.asarray(M)
 
 
 # --------------------------------------------------------------------------
@@ -177,11 +198,11 @@ def _recrop(img, center_uvd, cube, new_M, M_inv, paras, dsize: int):
     nv_val = pos_min - 1.0
     out = _warp_affine_inv(img, A_inv, dsize)
     out = jnp.where(out < nv_val, 0.0, out)
-    _, _, _, _, zs, ze = _bounds(center_uvd, cube, paras)
+    _, _, _, _, zs, ze = _bounds_f32(center_uvd, cube, paras)
     return _z_threshold(out, zs, ze)
 
 
-def augment_one(img, jt_xyz, center_uvd, cube, paras, flip,
+def augment_one(img, jt_xyz, center_uvd, cube, M, paras, flip,
                 aug_op, trans, scale, rot, dsize: int):
     """Device twin of reference loader.py:75-86 on an mm-depth crop.
 
@@ -190,12 +211,12 @@ def augment_one(img, jt_xyz, center_uvd, cube, paras, flip,
     Returns (img_normalized, jt_xyz, cube, center_uvd, M).
     """
     depth_max = img.max()
-    M = _transmat(*_bounds(center_uvd, cube, paras)[:4], dsize)[0]
 
     def do_trans(_):
         center_xyz = uvd2xyz(center_uvd, paras, flip)
         new_center = xyz2uvd(center_xyz + trans, paras, flip)
-        new_M = _transmat(*_bounds(new_center, cube, paras)[:4], dsize)[0]
+        new_M = _transmat_f32(*_bounds_f32(new_center, cube, paras)[:4],
+                              dsize)
         ok = jnp.logical_or(~jnp.isclose(center_uvd[2], 0.0),
                             jnp.isclose(new_center[2], 0.0))
         new_img = _recrop(img, new_center, cube, new_M,
@@ -206,7 +227,8 @@ def augment_one(img, jt_xyz, center_uvd, cube, paras, flip,
 
     def do_scale(_):
         new_cube = cube * scale
-        new_M = _transmat(*_bounds(center_uvd, new_cube, paras)[:4], dsize)[0]
+        new_M = _transmat_f32(*_bounds_f32(center_uvd, new_cube, paras)[:4],
+                              dsize)
         ok = ~jnp.isclose(center_uvd[2], 0.0)
         new_img = _recrop(img, center_uvd, new_cube, new_M,
                           jnp.linalg.inv(M), paras, dsize)
@@ -220,10 +242,12 @@ def augment_one(img, jt_xyz, center_uvd, cube, paras, flip,
         cx, cy = dsize // 2, dsize // 2
         # forward 3x3 of cv2's 2x3; invert for sampling
         A = jnp.array(
-            [[ca, sa, (1 - ca) * cx - sa * cy],
-             [-sa, ca, sa * cx + (1 - ca) * cy],
-             [0.0, 0.0, 1.0]]
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
         )
+        A = A.at[0, 0].set(ca).at[0, 1].set(sa)
+        A = A.at[0, 2].set((1 - ca) * cx - sa * cy)
+        A = A.at[1, 0].set(-sa).at[1, 1].set(ca)
+        A = A.at[1, 2].set(sa * cx + (1 - ca) * cy)
         new_img = _warp_affine_inv(img, jnp.linalg.inv(A), dsize)
         center_xyz = uvd2xyz(center_uvd, paras, flip)
         jt_uvd = xyz2uvd(jt_xyz + center_xyz, paras, flip)
@@ -255,6 +279,39 @@ def draw_augment_params(key, batch: int, sigma_trans=10.0, sigma_scale=0.1,
 
 
 @functools.partial(jax.jit, static_argnames=("dsize", "flip"))
+def _train_preprocess_kernel(imgs, jt_xyz, centers_uvd, cubes, paras, p,
+                             aug_params, dsize: int, flip: int):
+    op, trans, scale, rot = aug_params
+
+    def one(img, jt, c_uvd, cube, us, ue, vs, ve, zs, ze, sw, sh, tx, ty,
+            M0, op_i, t_i, s_i, r_i):
+        crop = _crop_gather(img, us, ue, vs, ve, zs, ze, sw, sh, tx, ty,
+                            dsize)
+        img_n, jt, cube, c_uvd, M = augment_one(
+            crop, jt, c_uvd, cube, M0, paras, flip, op_i, t_i, s_i, r_i,
+            dsize)
+        center_xyz = uvd2xyz(c_uvd, paras, flip)
+        jt_uvd = xyz2uvd(jt + center_xyz, paras, flip)
+        uv1 = jnp.concatenate([jt_uvd[:, :2], jnp.ones_like(jt_uvd[:, :1])],
+                              -1)
+        uv = (M @ uv1.T).T
+        jt_uvd_px = jnp.concatenate([uv[:, :2] / uv[:, 2:], jt_uvd[:, 2:]],
+                                    -1)
+        jt_uvd_n = jnp.stack(
+            [jt_uvd_px[:, 0] / (dsize / 2.0) - 1,
+             jt_uvd_px[:, 1] / (dsize / 2.0) - 1,
+             (jt_uvd_px[:, 2] - center_xyz[2]) / (cube[2] / 2.0)], -1)
+        jt_xyz_n = jt / (cube / 2.0)
+        return img_n, jt_xyz_n, jt_uvd_n, center_xyz, M, cube
+
+    img_n, jt_xyz_n, jt_uvd_n, center_xyz, M, cube = jax.vmap(one)(
+        imgs, jt_xyz, centers_uvd, cubes, p["us"], p["ue"], p["vs"],
+        p["ve"], p["zs"], p["ze"], p["sw"], p["sh"], p["tx"], p["ty"],
+        p["M"], op, trans, scale, rot)
+    return dict(img=img_n, jt_xyz=jt_xyz_n, jt_uvd=jt_uvd_n,
+                center_xyz=center_xyz, M=M, cube=cube)
+
+
 def train_preprocess_batch(imgs, jt_xyz, centers_uvd, cubes, paras,
                            aug_params, dsize: int, flip: int):
     """Full train-path device preprocessing for a batch of raw frames:
@@ -264,25 +321,11 @@ def train_preprocess_batch(imgs, jt_xyz, centers_uvd, cubes, paras,
     Returns dict with img (B,S,S), jt_xyz/jt_uvd (B,J,3) normalized,
     center_xyz (B,3), M (B,3,3), cube (B,3).
     """
-    op, trans, scale, rot = aug_params
-
-    def one(img, jt, c_uvd, cube, op_i, t_i, s_i, r_i):
-        crop, _ = crop_raw(img, c_uvd, cube, paras, dsize)
-        img_n, jt, cube, c_uvd, M = augment_one(
-            crop, jt, c_uvd, cube, paras, flip, op_i, t_i, s_i, r_i, dsize)
-        center_xyz = uvd2xyz(c_uvd, paras, flip)
-        jt_uvd = xyz2uvd(jt + center_xyz, paras, flip)
-        uv1 = jnp.concatenate([jt_uvd[:, :2], jnp.ones_like(jt_uvd[:, :1])], -1)
-        uv = (M @ uv1.T).T
-        jt_uvd_px = jnp.concatenate([uv[:, :2] / uv[:, 2:], jt_uvd[:, 2:]], -1)
-        jt_uvd_n = jnp.stack(
-            [jt_uvd_px[:, 0] / (dsize / 2.0) - 1,
-             jt_uvd_px[:, 1] / (dsize / 2.0) - 1,
-             (jt_uvd_px[:, 2] - center_xyz[2]) / (cube[2] / 2.0)], -1)
-        jt_xyz_n = jt / (cube / 2.0)
-        return img_n, jt_xyz_n, jt_uvd_n, center_xyz, M, cube
-
-    img_n, jt_xyz_n, jt_uvd_n, center_xyz, M, cube = jax.vmap(one)(
-        imgs, jt_xyz, centers_uvd, cubes, op, trans, scale, rot)
-    return dict(img=img_n, jt_xyz=jt_xyz_n, jt_uvd=jt_uvd_n,
-                center_xyz=center_xyz, M=M, cube=cube)
+    p_np = crop_params_np(np.asarray(centers_uvd), np.asarray(cubes),
+                          np.asarray(paras), dsize)
+    p = {k: jnp.asarray(v) for k, v in p_np.items()}
+    return _train_preprocess_kernel(
+        jnp.asarray(imgs), jnp.asarray(jt_xyz, jnp.float32),
+        jnp.asarray(centers_uvd, jnp.float32),
+        jnp.asarray(cubes, jnp.float32), jnp.asarray(paras),
+        p, aug_params, dsize, flip)
