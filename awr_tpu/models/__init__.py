@@ -12,12 +12,16 @@ from awr_tpu.models.hourglass import PoseNet  # noqa: F401
 from awr_tpu.models.resnet import ResNetDeconv, get_deconv_net  # noqa: F401
 
 
-def build_model(net: str, joint_num: int, downsample: int = 2):
+def build_model(net: str, joint_num: int, downsample: int = 2,
+                dtype=None):
     """Net-string factory (reference train.py:51-57, test.py:37-42)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
     if net.startswith("resnet"):
         layers = int(net.split("_")[1])
-        return get_deconv_net(layers, joint_num, downsample)
+        return get_deconv_net(layers, joint_num, downsample, dtype=dtype)
     if net.startswith("hourglass"):
         nstack = int(net.split("_")[1])
-        return PoseNet(nstack=nstack, joint_num=joint_num)
+        return PoseNet(nstack=nstack, joint_num=joint_num, dtype=dtype)
     raise ValueError(f"unknown net {net!r}")

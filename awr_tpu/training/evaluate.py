@@ -1,0 +1,95 @@
+"""Inference/eval CLI (reference test.py equivalent).
+
+Usage:
+  python -m awr_tpu.training.evaluate --synthetic            # offline smoke
+  python -m awr_tpu.training.evaluate --data-dir ./data/nyu  # real NYU
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from awr_tpu.config import Config, hourglass_config, resnet_config
+
+
+def build_config(args) -> Config:
+    if args.net.startswith("resnet"):
+        cfg = resnet_config(int(args.net.split("_")[1]))
+    else:
+        cfg = hourglass_config(int(args.net.split("_")[1]))
+    over = dict(
+        batch_size=args.batch_size,
+        img_size=args.img_size,
+        load_model=args.load_model,
+        output_dir=args.output_dir,
+        vis_freq=args.vis_freq,
+        use_pallas=not args.no_pallas,
+        compute_dtype=args.compute_dtype,
+    )
+    if args.downsample:
+        over["downsample"] = args.downsample
+    return cfg.replace(**over)
+
+
+def add_common_args(ap: argparse.ArgumentParser):
+    ap.add_argument("--net", default="resnet_18",
+                    help="resnet_{18,50,101,152} | hourglass_<nstack>")
+    ap.add_argument("--data-dir", default="./data/nyu")
+    ap.add_argument("--output-dir", default="./output")
+    ap.add_argument("--load-model", default="",
+                    help="checkpoint dir to load")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--img-size", type=int, default=128)
+    ap.add_argument("--downsample", type=int, default=0,
+                    help="override output stride (default: per-net)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use the synthetic dataset (no NYU files needed)")
+    ap.add_argument("--synthetic-size", type=int, default=32)
+    ap.add_argument("--vis-freq", type=int, default=0,
+                    help="overlay PNG every N batches (0=off)")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+
+
+def make_datasets(args, cfg: Config, train: bool = False):
+    if args.synthetic:
+        from awr_tpu.data.synthetic import SyntheticHandDataset
+
+        test = SyntheticHandDataset(args.synthetic_size, cfg.jt_num,
+                                    cfg.img_size, phase="test", seed=1)
+        tr = (SyntheticHandDataset(args.synthetic_size, cfg.jt_num,
+                                   cfg.img_size, phase="train", seed=0)
+              if train else None)
+        return tr, test
+    from awr_tpu.data.nyu import NYUDataset
+
+    test = NYUDataset(args.data_dir, "test", img_size=cfg.img_size,
+                      cube=cfg.cube)
+    tr = (NYUDataset(args.data_dir, "train", img_size=cfg.img_size,
+                     aug_para=cfg.augment_para, cube=cfg.cube)
+          if train else None)
+    return tr, test
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_common_args(ap)
+    ap.add_argument("--epoch", type=int, default=-1,
+                    help="epoch tag for outputs (-1 dumps predictions, "
+                         "matching reference test.py:102-108)")
+    args = ap.parse_args(argv)
+    cfg = build_config(args)
+
+    from awr_tpu.training.trainer import Trainer
+
+    _, test = make_datasets(args, cfg)
+    trainer = Trainer(cfg, test_data=test)
+    mpe, auc = trainer.test(args.epoch)
+    print(f"results: [MPE {mpe:.3f}][AUC {auc:.3f}]")
+    trainer.close()
+    return mpe
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Jitted train/eval step factories.
+
+Reference parity: the per-batch math of train.py:107-131 / test.py:67-97 —
+GT offset-field encode, backbone forward, adaptive decode, weighted
+dense+coord smooth-L1 — as pure functions of (params, batch_stats,
+opt_state, batch).
+
+Improvements over the reference (behavior-preserving unless noted):
+- One forward per step.  The reference hourglass loop calls
+  ``self.net(input)`` afresh for every stack index (train.py:116-121),
+  recomputing the whole network nstack times AND only backpropagating the
+  last stack's loss (the loop overwrites ``loss``).  Here the stacked
+  (S, B, F, F, 4J) output comes from one forward; with
+  ``supervise_all_stacks=True`` (default) every stack contributes to the
+  loss (standard hourglass deep supervision), with ``False`` only the
+  last stack does — matching the reference's effective gradients.
+- Everything (encode, forward, decode, loss, optimizer update) fuses into
+  one XLA program per step; no host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from awr_tpu.ops import joint2offset, smooth_l1_loss
+from awr_tpu.ops.decode import decode_offsets
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _stacked(out: jax.Array) -> jax.Array:
+    """Normalize model output to (S, B, F, F, 4J)."""
+    return out if out.ndim == 5 else out[None]
+
+
+def make_train_step(model, optimizer, cfg):
+    """Returns ``train_step(state, batch) -> (state, metrics)``."""
+    kernel = cfg.kernel_size
+    feat = cfg.feature_size
+    dense_w = cfg.dense_weight
+    coord_w = cfg.coord_weight
+    supervise_all = cfg.supervise_all_stacks
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        img = batch["img"]  # (B, S, S)
+        offset_gt = joint2offset(batch["jt_uvd"], img, kernel, feat)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img[..., None], train=True, mutable=["batch_stats"],
+            )
+            preds = _stacked(out)
+            nstack = preds.shape[0]
+            idxs = range(nstack) if supervise_all else [nstack - 1]
+            loss_offset = 0.0
+            loss_coord = 0.0
+            jt_pred = None
+            for s in idxs:
+                jt_pred = decode_offsets(preds[s], img, kernel,
+                                         use_pallas=cfg.use_pallas)
+                loss_coord += coord_w * smooth_l1_loss(jt_pred,
+                                                       batch["jt_uvd"])
+                loss_offset += dense_w * smooth_l1_loss(preds[s], offset_gt)
+            loss = loss_coord + loss_offset
+            return loss, (mut["batch_stats"], jt_pred, loss_offset,
+                          loss_coord)
+
+        (loss, (batch_stats, jt_pred, l_off, l_crd)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, batch_stats, opt_state,
+                               state.step + 1)
+        metrics = dict(loss=loss, loss_offset=l_off, loss_coord=l_crd,
+                       jt_uvd_pred=jt_pred)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg):
+    """Returns ``eval_step(params, batch_stats, batch) -> metrics`` with
+    decoded joints + the same losses the reference reports in eval
+    (test.py:70-88)."""
+    kernel = cfg.kernel_size
+    feat = cfg.feature_size
+    dense_w = cfg.dense_weight
+    coord_w = cfg.coord_weight
+
+    def eval_step(params, batch_stats, batch):
+        img = batch["img"]
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img[..., None], train=False,
+        )
+        preds = _stacked(out)
+        offset_gt = joint2offset(batch["jt_uvd"], img, kernel, feat)
+        jt_pred = decode_offsets(preds[-1], img, kernel,
+                                 use_pallas=cfg.use_pallas)
+        loss_coord = coord_w * smooth_l1_loss(jt_pred, batch["jt_uvd"])
+        loss_offset = dense_w * smooth_l1_loss(preds[-1], offset_gt)
+        return dict(jt_uvd_pred=jt_pred, loss=loss_coord + loss_offset,
+                    loss_offset=loss_offset, loss_coord=loss_coord)
+
+    return eval_step
+
+
+def make_infer_step(model, cfg):
+    """Forward + decode only (throughput path; bf16-able)."""
+    kernel = cfg.kernel_size
+
+    def infer_step(params, batch_stats, img):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img[..., None], train=False,
+        )
+        preds = _stacked(out)
+        return decode_offsets(preds[-1], img, kernel,
+                              use_pallas=cfg.use_pallas)
+
+    return infer_step

@@ -1,0 +1,49 @@
+"""Training CLI (reference train.py equivalent).
+
+Usage:
+  python -m awr_tpu.training.train --synthetic --epochs 2   # offline smoke
+  python -m awr_tpu.training.train --data-dir ./data/nyu    # real NYU recipe
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from awr_tpu.training.evaluate import (
+    add_common_args,
+    build_config,
+    make_datasets,
+)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_common_args(ap)
+    ap.add_argument("--epochs", type=int, default=0,
+                    help="override max_epoch (default: dataset recipe)")
+    ap.add_argument("--lr", type=float, default=0.0)
+    ap.add_argument("--optimizer", default="")
+    ap.add_argument("--scheduler", default="")
+    args = ap.parse_args(argv)
+    cfg = build_config(args)
+    over = {}
+    if args.epochs:
+        over["max_epoch"] = args.epochs
+    if args.lr:
+        over["lr"] = args.lr
+    if args.optimizer:
+        over["optimizer"] = args.optimizer
+    if args.scheduler:
+        over["scheduler"] = args.scheduler
+    cfg = cfg.replace(**over)
+
+    from awr_tpu.training.trainer import Trainer
+
+    train, test = make_datasets(args, cfg, train=True)
+    trainer = Trainer(cfg, train_data=train, test_data=test)
+    trainer.train()
+    trainer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,278 @@
+"""Train/eval driver: thin host loop around jitted sharded steps.
+
+Reference parity: the Trainer semantics of train.py (epoch loop, per-batch
+encode/forward/decode/loss/step, per-epoch train-MPE + test + checkpoint,
+log file, lr scheduling) and test.py (eval loop, PCK plot, prediction txt
+dump).  Differences, all documented:
+
+- One forward per train step; all hourglass stacks supervised by default
+  (see awr_tpu/training/steps.py docstring).
+- ``best_records`` is actually updated on improvement (the reference
+  initializes it at train.py:75-77 but never writes it, so resume always
+  restarts at epoch 1 unless the checkpoint carried records).
+- Data parallel over a 1-D device mesh: the jitted step consumes a
+  globally-batched array sharded on the batch axis; XLA inserts the ICI
+  all-reduces for gradients and (global-view) BatchNorm statistics, so
+  per-step math for a given global batch matches the single-device
+  reference.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from awr_tpu.config import Config
+from awr_tpu.evaluation import Evaluator
+from awr_tpu.models import build_model
+from awr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from awr_tpu.training.checkpoints import CheckpointManager
+from awr_tpu.training.optim import (
+    PlateauScheduler,
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+    step_lr,
+)
+from awr_tpu.training.steps import (
+    TrainState,
+    make_eval_step,
+    make_infer_step,
+    make_train_step,
+)
+from awr_tpu.vis import plot_pose
+
+DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+class Trainer:
+    def __init__(self, config: Config, train_data=None, test_data=None,
+                 workdir: Optional[str] = None, mesh=None):
+        self.cfg = config
+        self.train_data = train_data
+        self.test_data = test_data
+
+        self.work_dir = workdir or os.path.join(
+            config.output_dir, config.dataset,
+            "checkpoint_" + config.exp_id)
+        self.result_dir = os.path.join(self.work_dir, "results")
+        os.makedirs(self.result_dir, exist_ok=True)
+        self.log_file = os.path.join(
+            self.work_dir, f"{config.net}_{config.log_id}.log")
+        self._log_fh = open(self.log_file, "a")
+        self.print_msg("------------------- start -------------------",
+                       stdout=False)
+        for k, v in sorted(vars(config).items()):
+            self.print_msg(f"{k}:{v}", stdout=False)
+
+        if config.matmul_precision:
+            jax.config.update("jax_default_matmul_precision",
+                              config.matmul_precision)
+
+        self.model = build_model(config.net, config.jt_num,
+                                 config.downsample,
+                                 dtype=DTYPES[config.compute_dtype])
+
+        # init params on a dummy frame
+        rng = jax.random.PRNGKey(config.seed)
+        dummy = jnp.zeros((1, config.img_size, config.img_size, 1),
+                          jnp.float32)
+        variables = self.model.init(rng, dummy, train=True)
+
+        self.optimizer = make_optimizer(config.optimizer,
+                                        config.weight_decay)(
+            learning_rate=config.lr)
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.optimizer.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        self.mesh = mesh or make_mesh(config.mesh_devices)
+        self.n_dev = self.mesh.devices.size
+        # Replicate state across the mesh; batches are sharded per step.
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.optimizer, config),
+            donate_argnums=(0,))
+        self._eval_step = jax.jit(make_eval_step(self.model, config))
+        self._infer_step = jax.jit(make_infer_step(self.model, config))
+
+        self.best_records = {"epoch": 0, "MPE": 1e10, "AUC": 0.0}
+        self.ckpt = CheckpointManager(os.path.join(self.work_dir, "ckpt"))
+        if config.load_model:
+            self.restore(config.load_model)
+        elif self.ckpt.latest_epoch() is not None:
+            self.restore()
+
+        self.plateau = (PlateauScheduler(config.lr)
+                        if config.scheduler == "auto" else None)
+
+    # ------------------------------------------------------------ utils
+    def print_msg(self, msg: str, stdout: bool = True):
+        if stdout:
+            print(msg)
+        print(msg, file=self._log_fh)
+        self._log_fh.flush()
+
+    def _pad(self, batch):
+        """Pad batch to a multiple of the mesh size; returns (batch, n)."""
+        n = len(batch["img"])
+        rem = (-n) % self.n_dev
+        if rem:
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], rem, 0)])
+                     for k, v in batch.items()}
+        return batch, n
+
+    def _put(self, batch):
+        keep = ("img", "jt_uvd", "jt_xyz")
+        dev = {k: jnp.asarray(batch[k]) for k in keep if k in batch}
+        return shard_batch(dev, self.mesh)
+
+    # ------------------------------------------------------------ train
+    def train(self):
+        cfg = self.cfg
+        assert self.train_data is not None, "no training dataset"
+        eval_tool = Evaluator(cfg.img_size, self.train_data.paras,
+                              self.train_data.flip, cfg.jt_num)
+        # resume-aware epoch range (reference train.py:105)
+        for epoch in range(self.best_records["epoch"] + 1,
+                           cfg.max_epoch + 1):
+            if cfg.scheduler == "step":
+                lr = step_lr(cfg.lr, epoch, cfg.step)
+            elif self.plateau is not None:
+                lr = self.plateau.lr
+            else:
+                lr = cfg.lr
+            self.state = self.state._replace(
+                opt_state=set_learning_rate(self.state.opt_state, lr))
+
+            losses, l_off, l_crd = [], 0.0, 0.0
+            t0 = time.time()
+            for ii, raw in enumerate(
+                    self.train_data.batches(cfg.batch_size, shuffle=True)):
+                batch, n = self._pad(raw)
+                dev_batch = self._put(batch)
+                self.state, metrics = self._train_step(self.state,
+                                                       dev_batch)
+                losses.append(float(metrics["loss"]))
+                l_off = float(metrics["loss_offset"])
+                l_crd = float(metrics["loss_coord"])
+                eval_tool.feed_batch(
+                    np.asarray(metrics["jt_uvd_pred"])[:n],
+                    batch["jt_xyz"][:n], batch["center_xyz"][:n],
+                    batch["M"][:n], batch["cube"][:n])
+                if (ii + 1) % cfg.print_freq == 0:
+                    self.print_msg(
+                        "[epoch: {:02d}][train loss: {:.5f}]"
+                        "[offset_loss: {:.5f}][coord_loss: {:.5f}]".format(
+                            epoch, float(np.mean(losses)), l_off, l_crd))
+                    losses = []
+            train_mpe, _, _, _, _ = eval_tool.get_measures()
+            eval_tool = Evaluator(cfg.img_size, self.train_data.paras,
+                                  self.train_data.flip, cfg.jt_num)
+            self.print_msg(
+                "[epoch {:02d}], [train loss {:.5f}], [train mpe {:.5f}],"
+                " [lr {:.1e}], [{:.1f}s]".format(
+                    epoch, float(np.mean(losses)) if losses else 0.0,
+                    train_mpe, lr, time.time() - t0))
+
+            if self.plateau is not None:
+                self.plateau.step(train_mpe)
+
+            mpe, auc = self.test(epoch)
+            if mpe < self.best_records["MPE"]:
+                self.best_records.update(epoch=epoch, MPE=mpe, AUC=auc)
+            self.best_records["epoch"] = epoch
+            self.save(epoch)
+
+    # ------------------------------------------------------------- eval
+    def test(self, epoch: int = 0):
+        cfg = self.cfg
+        assert self.test_data is not None, "no test dataset"
+        eval_tool = Evaluator(cfg.img_size, self.test_data.paras,
+                              self.test_data.flip, cfg.jt_num)
+        loss_sum, nb = 0.0, 0
+        for ii, raw in enumerate(self.test_data.batches(cfg.batch_size)):
+            batch, n = self._pad(raw)
+            dev_batch = self._put(batch)
+            metrics = self._eval_step(self.state.params,
+                                      self.state.batch_stats, dev_batch)
+            loss_sum += float(metrics["loss"])
+            nb += 1
+            jt_pred = np.asarray(metrics["jt_uvd_pred"])[:n]
+            eval_tool.feed_batch(jt_pred, batch["jt_xyz"][:n],
+                                 batch["center_xyz"][:n], batch["M"][:n],
+                                 batch["cube"][:n])
+            if cfg.vis_freq and (ii + 1) % cfg.vis_freq == 0:
+                img_path = os.path.join(
+                    self.result_dir,
+                    f"test_epoch_{epoch}_iter_{ii + 1}.png")
+                plot_pose(
+                    batch["img"][0],
+                    img_path,
+                    (jt_pred[0] + 1) * cfg.img_size / 2.0,
+                    (batch["jt_uvd"][0] + 1) * cfg.img_size / 2.0,
+                    dataset=cfg.dataset)
+
+        mpe, mid, auc, pck, thresh = eval_tool.get_measures()
+        eval_tool.plot_pck(
+            os.path.join(self.work_dir, f"test_pck_epoch_{epoch}.png"),
+            pck, thresh)
+        if epoch in (0, -1):
+            # reference writes the dump with the MPE in the filename
+            # (train.py:217-221, test.py:105-108)
+            eval_tool.save_predictions(
+                os.path.join(self.work_dir, "test_%.3f.txt" % mpe))
+        self.print_msg(
+            "[epoch {:2d}], [test loss {:.5f}], [test mpe {:.3f}],"
+            " [test auc {:.3f}]".format(
+                epoch, loss_sum / max(nb, 1), mpe, auc))
+        return mpe, auc
+
+    # ------------------------------------------------------ checkpoints
+    def save(self, epoch: int):
+        self.ckpt.save(epoch, dict(
+            params=self.state.params,
+            batch_stats=self.state.batch_stats,
+            opt_state=self.state.opt_state,
+            step=self.state.step,
+            best_records=self.best_records,
+            lr=get_learning_rate(self.state.opt_state),
+        ))
+
+    def restore(self, path: Optional[str] = None,
+                epoch: Optional[int] = None):
+        mgr = CheckpointManager(path) if path else self.ckpt
+        template = dict(
+            params=self.state.params,
+            batch_stats=self.state.batch_stats,
+            opt_state=self.state.opt_state,
+            step=self.state.step,
+            best_records=self.best_records,
+            lr=0.0,
+        )
+        restored = mgr.restore(epoch, template=template)
+        self.state = TrainState(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]),
+        )
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.best_records = jax.tree_util.tree_map(
+            lambda x: x.item() if hasattr(x, "item") else x,
+            restored["best_records"])
+        self.print_msg(
+            f"restored checkpoint (epoch {self.best_records['epoch']})")
+
+    def close(self):
+        self.ckpt.close()
+        self._log_fh.close()

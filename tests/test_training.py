@@ -1,0 +1,123 @@
+"""End-to-end driver tests: jitted train/eval steps, loss decrease,
+checkpoint save/restore, mesh data-parallel equivalence."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from awr_tpu.config import Config
+from awr_tpu.data.synthetic import SyntheticHandDataset
+from awr_tpu.training.trainer import Trainer
+
+SMALL = dict(img_size=64, batch_size=8, vis_freq=0, use_pallas=False,
+             print_freq=1000)
+
+
+def small_config(**kw):
+    base = dict(SMALL, net="resnet_18", kernel_size=1.0)
+    base.update(kw)
+    return Config(**base)
+
+
+def make_trainer(tmp_path, **kw):
+    cfg = small_config(**kw)
+    train = SyntheticHandDataset(8, cfg.jt_num, cfg.img_size,
+                                 phase="train", seed=0)
+    test = SyntheticHandDataset(8, cfg.jt_num, cfg.img_size,
+                                phase="test", seed=1)
+    return Trainer(cfg, train, test, workdir=str(tmp_path / "work"))
+
+
+def test_train_step_decreases_loss(tmp_path):
+    tr = make_trainer(tmp_path, lr=3e-4)
+    ds = tr.train_data
+    batch_raw = next(ds.batches(8))
+    batch, _ = tr._pad(batch_raw)
+    dev = tr._put(batch)
+    losses = []
+    for _ in range(30):
+        tr.state, m = tr._train_step(tr.state, dev)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    # the delta=0.01 dense loss is background-dominated; expect a steady
+    # but modest decrease when overfitting one batch
+    assert np.mean(losses[-5:]) < losses[0], losses
+    tr.close()
+
+
+def test_eval_and_dump(tmp_path):
+    tr = make_trainer(tmp_path)
+    mpe, auc = tr.test(epoch=0)
+    assert np.isfinite(mpe) and mpe > 0
+    dumps = [f for f in os.listdir(tr.work_dir) if f.startswith("test_")
+             and f.endswith(".txt")]
+    assert dumps, os.listdir(tr.work_dir)
+    pcks = [f for f in os.listdir(tr.work_dir) if f.endswith(".png")]
+    assert pcks
+    tr.close()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tr = make_trainer(tmp_path)
+    batch, _ = tr._pad(next(tr.train_data.batches(8)))
+    dev = tr._put(batch)
+    tr.state, _ = tr._train_step(tr.state, dev)
+    tr.best_records.update(epoch=3, MPE=12.5)
+    tr.save(3)
+    p0 = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params)[0])
+
+    tr2 = make_trainer(tmp_path)  # same workdir -> auto-restore
+    assert tr2.best_records["epoch"] == 3
+    assert abs(tr2.best_records["MPE"] - 12.5) < 1e-6
+    p1 = np.asarray(jax.tree_util.tree_leaves(tr2.state.params)[0])
+    np.testing.assert_allclose(p0, p1)
+    assert int(tr2.state.step) == 1
+    tr.close()
+    tr2.close()
+
+
+def test_mesh_data_parallel_matches_single_device(tmp_path):
+    """Same batch, 8-device sharded vs 1-device: identical step results
+    (global-view pjit semantics; SURVEY.md section 5.8)."""
+    from awr_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    # SGD: the update is linear in the gradient, so float reduction-order
+    # noise stays O(eps).  (Adam's first step is ~lr*sign(g), which flips
+    # by 2*lr wherever a near-zero gradient crosses 0 between orders.)
+    cfg_kw = dict(lr=1e-3, seed=5, optimizer="sgd")
+    tr1 = make_trainer(tmp_path / "a", mesh_devices=1, **cfg_kw)
+    tr8 = make_trainer(tmp_path / "b", mesh_devices=8, **cfg_kw)
+    batch, _ = tr1._pad(next(tr1.train_data.batches(8)))
+    d1 = tr1._put(batch)
+    d8 = tr8._put(batch)
+    tr1.state, m1 = tr1._train_step(tr1.state, d1)
+    tr8.state, m8 = tr8._train_step(tr8.state, d8)
+    # reduction order differs between sharded and unsharded all-reduces;
+    # tolerate float32 accumulation noise only
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-3, atol=1e-7)
+    l1 = jax.tree_util.tree_leaves(tr1.state.params)
+    l8 = jax.tree_util.tree_leaves(tr8.state.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    tr1.close()
+    tr8.close()
+
+
+def test_one_epoch_hourglass_train(tmp_path):
+    cfg = small_config(net="hourglass_1", kernel_size=0.4, max_epoch=1,
+                       batch_size=4)
+    train = SyntheticHandDataset(4, cfg.jt_num, cfg.img_size,
+                                 phase="train", seed=0)
+    test = SyntheticHandDataset(4, cfg.jt_num, cfg.img_size,
+                                phase="test", seed=1)
+    tr = Trainer(cfg, train, test, workdir=str(tmp_path / "hg"))
+    tr.train()  # one epoch end-to-end incl. test + checkpoint
+    assert tr.ckpt.latest_epoch() == 1
+    tr.close()
