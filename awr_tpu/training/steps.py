@@ -26,8 +26,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from awr_tpu.ops import joint2offset, smooth_l1_loss
+from awr_tpu.ops import smooth_l1_loss
 from awr_tpu.ops.decode import decode_offsets
+from awr_tpu.ops.encode import encode_offsets
 
 
 class TrainState(NamedTuple):
@@ -52,7 +53,8 @@ def make_train_step(model, optimizer, cfg):
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         img = batch["img"]  # (B, S, S)
-        offset_gt = joint2offset(batch["jt_uvd"], img, kernel, feat)
+        offset_gt = encode_offsets(batch["jt_uvd"], img, kernel, feat,
+                                   use_pallas=cfg.use_pallas)
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -106,7 +108,8 @@ def make_eval_step(model, cfg):
             img[..., None], train=False,
         )
         preds = _stacked(out)
-        offset_gt = joint2offset(batch["jt_uvd"], img, kernel, feat)
+        offset_gt = encode_offsets(batch["jt_uvd"], img, kernel, feat,
+                                   use_pallas=cfg.use_pallas)
         jt_pred = decode_offsets(preds[-1], img, kernel,
                                  use_pallas=cfg.use_pallas)
         loss_coord = coord_w * smooth_l1_loss(jt_pred, batch["jt_uvd"])
