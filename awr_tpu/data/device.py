@@ -285,6 +285,8 @@ def _train_preprocess_kernel(imgs, jt_xyz, centers_uvd, cubes, paras, p,
 
     def one(img, jt, c_uvd, cube, us, ue, vs, ve, zs, ze, sw, sh, tx, ty,
             M0, op_i, t_i, s_i, r_i):
+        # absolute joints -> center-relative (reference nyu_loader.py:50)
+        jt = jt - uvd2xyz(c_uvd, paras, flip)
         crop = _crop_gather(img, us, ue, vs, ve, zs, ze, sw, sh, tx, ty,
                             dsize)
         img_n, jt, cube, c_uvd, M = augment_one(
@@ -318,6 +320,9 @@ def train_preprocess_batch(imgs, jt_xyz, centers_uvd, cubes, paras,
     crop -> one-of-four augment -> normalize -> label normalization
     (reference nyu_loader.py:38-66).
 
+    Args:
+      imgs: (B, H0, W0) raw mm depth; jt_xyz: (B, J, 3) ABSOLUTE mm
+      joints (center subtraction happens on device); centers_uvd: (B, 3).
     Returns dict with img (B,S,S), jt_xyz/jt_uvd (B,J,3) normalized,
     center_xyz (B,3), M (B,3,3), cube (B,3).
     """

@@ -43,11 +43,14 @@ SECOND_SUBJECT_START = 2440
 
 
 def decode_depth_png(path: str) -> np.ndarray:
-    """NYU PNG encoding: depth mm = blue + green * 256 (reference :71-74)."""
+    """NYU PNG encoding: depth mm = blue + green * 256 (reference :71-74).
+
+    (Channels widened before the arithmetic: numpy 2 rejects the
+    reference's uint8 * 256 under NEP 50 promotion.)
+    """
     img = cv2.imread(path)
-    return np.asarray(
-        img[:, :, 0] + img[:, :, 1] * 256, dtype=np.float32
-    )
+    return (img[:, :, 0].astype(np.float32)
+            + img[:, :, 1].astype(np.float32) * 256.0)
 
 
 class NYUDataset(DepthDataset):

@@ -50,24 +50,31 @@ def add_common_args(ap: argparse.ArgumentParser):
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--data-mode", default="host",
+                    choices=["host", "raw"],
+                    help="'host': reference-exact cv2 pipeline on CPU; "
+                         "'raw': fused device-side preprocessing")
 
 
 def make_datasets(args, cfg: Config, train: bool = False):
+    mode = getattr(args, "data_mode", "host")
     if args.synthetic:
         from awr_tpu.data.synthetic import SyntheticHandDataset
 
         test = SyntheticHandDataset(args.synthetic_size, cfg.jt_num,
-                                    cfg.img_size, phase="test", seed=1)
+                                    cfg.img_size, phase="test", seed=1,
+                                    mode=mode)
         tr = (SyntheticHandDataset(args.synthetic_size, cfg.jt_num,
-                                   cfg.img_size, phase="train", seed=0)
+                                   cfg.img_size, phase="train", seed=0,
+                                   mode=mode)
               if train else None)
         return tr, test
     from awr_tpu.data.nyu import NYUDataset
 
     test = NYUDataset(args.data_dir, "test", img_size=cfg.img_size,
-                      cube=cfg.cube)
+                      cube=cfg.cube, mode=mode)
     tr = (NYUDataset(args.data_dir, "train", img_size=cfg.img_size,
-                     aug_para=cfg.augment_para, cube=cfg.cube)
+                     aug_para=cfg.augment_para, cube=cfg.cube, mode=mode)
           if train else None)
     return tr, test
 

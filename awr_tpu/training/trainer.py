@@ -136,6 +136,50 @@ class Trainer:
         dev = {k: jnp.asarray(batch[k]) for k in keep if k in batch}
         return shard_batch(dev, self.mesh)
 
+    def _preprocess_raw(self, raw, dataset, train: bool, step_key=None):
+        """Raw-mode batches: run the fused device preprocessing
+        (awr_tpu.data.device) instead of the host cv2 path."""
+        from awr_tpu.data.device import (crop_normalize_batch,
+                                         draw_augment_params,
+                                         train_preprocess_batch)
+        from awr_tpu.geometry import xyz2uvd_np
+
+        cfg = self.cfg
+        paras = np.asarray(dataset.paras, np.float32)
+        centers_uvd = xyz2uvd_np(raw["center_xyz"], dataset.paras,
+                                 dataset.flip)
+        if train:
+            params = draw_augment_params(step_key, len(raw["img"]),
+                                         *cfg.augment_para)
+            out = train_preprocess_batch(
+                raw["img"], raw["jt_xyz"], centers_uvd, raw["cube"],
+                jnp.asarray(paras), params, cfg.img_size, dataset.flip)
+            return {k: np.asarray(v) for k, v in out.items()}
+        img, M = crop_normalize_batch(raw["img"], centers_uvd,
+                                      raw["cube"], paras, cfg.img_size)
+        # label normalization on host (reference nyu_loader.py:61-64)
+        center = np.asarray(raw["center_xyz"], np.float32)
+        cube = np.asarray(raw["cube"], np.float32)
+        jt_rel = np.asarray(raw["jt_xyz"], np.float32) - center[:, None]
+        jt_uvd = xyz2uvd_np(jt_rel + center[:, None], dataset.paras,
+                            dataset.flip)
+        M_np = np.asarray(M)
+        uv1 = np.concatenate([jt_uvd[..., :2],
+                              np.ones_like(jt_uvd[..., :1])], -1)
+        uv = np.einsum("bij,bkj->bki", M_np, uv1)
+        jt_uvd_px = np.concatenate([uv[..., :2] / uv[..., 2:],
+                                    jt_uvd[..., 2:]], -1)
+        jt_uvd_n = np.stack(
+            [jt_uvd_px[..., 0] / (cfg.img_size / 2.0) - 1,
+             jt_uvd_px[..., 1] / (cfg.img_size / 2.0) - 1,
+             (jt_uvd_px[..., 2] - center[:, None, 2])
+             / (cube[:, None, 2] / 2.0)], -1)
+        return dict(img=np.asarray(img),
+                    jt_uvd=jt_uvd_n.astype(np.float32),
+                    jt_xyz=(jt_rel / (cube[:, None] / 2.0)).astype(
+                        np.float32),
+                    center_xyz=center, M=M_np, cube=cube)
+
     # ------------------------------------------------------------ train
     def train(self):
         cfg = self.cfg
@@ -156,8 +200,15 @@ class Trainer:
 
             losses, l_off, l_crd = [], 0.0, 0.0
             t0 = time.time()
+            raw_mode = getattr(self.train_data, "mode", "host") == "raw"
             for ii, raw in enumerate(
                     self.train_data.batches(cfg.batch_size, shuffle=True)):
+                if raw_mode:
+                    key = jax.random.fold_in(
+                        jax.random.PRNGKey(cfg.seed),
+                        epoch * 1_000_003 + ii)
+                    raw = self._preprocess_raw(raw, self.train_data,
+                                               train=True, step_key=key)
                 batch, n = self._pad(raw)
                 dev_batch = self._put(batch)
                 self.state, metrics = self._train_step(self.state,
@@ -200,7 +251,11 @@ class Trainer:
         eval_tool = Evaluator(cfg.img_size, self.test_data.paras,
                               self.test_data.flip, cfg.jt_num)
         loss_sum, nb = 0.0, 0
+        raw_mode = getattr(self.test_data, "mode", "host") == "raw"
         for ii, raw in enumerate(self.test_data.batches(cfg.batch_size)):
+            if raw_mode:
+                raw = self._preprocess_raw(raw, self.test_data,
+                                           train=False)
             batch, n = self._pad(raw)
             dev_batch = self._put(batch)
             metrics = self._eval_step(self.state.params,

@@ -138,6 +138,44 @@ class TestDevicePath:
         np.testing.assert_allclose(np.asarray(dev_imgs),
                                    np.stack(host_imgs), atol=1e-6)
 
+    def test_train_preprocess_noaug_matches_host_pipeline(self):
+        """With aug op forced to 'none', the device train path must equal
+        the host test path exactly (image and labels)."""
+        import jax.numpy as jnp
+        from awr_tpu.data.device import train_preprocess_batch
+        from awr_tpu.data.synthetic import SyntheticHandDataset
+
+        ds = SyntheticHandDataset(num_samples=3, phase="test", seed=7)
+        imgs, jts, centers_uvd, host_items = [], [], [], []
+        for i in range(len(ds)):
+            img, jt, center = ds.raw_item(i)
+            imgs.append(img)
+            jts.append(jt)
+            centers_uvd.append(
+                xyz2uvd_np(center, NYU_PARAS, NYU_FLIP))
+            host_items.append(ds[i])
+        B = len(ds)
+        params = (np.full(B, 3, np.int32), np.zeros((B, 3), np.float32),
+                  np.ones(B, np.float32), np.zeros(B, np.float32))
+        out = train_preprocess_batch(
+            jnp.asarray(np.stack(imgs)),
+            jnp.asarray(np.stack(jts), jnp.float32),
+            jnp.asarray(np.stack(centers_uvd), jnp.float32),
+            jnp.asarray(np.full((B, 3), 300.0), jnp.float32),
+            jnp.asarray(NYU_PARAS),
+            tuple(jnp.asarray(p) for p in params), 128, NYU_FLIP)
+        for i, item in enumerate(host_items):
+            np.testing.assert_allclose(np.asarray(out["img"])[i],
+                                       item["img"], atol=1e-5)
+            np.testing.assert_allclose(np.asarray(out["jt_uvd"])[i],
+                                       item["jt_uvd"], rtol=2e-3,
+                                       atol=2e-3)
+            np.testing.assert_allclose(np.asarray(out["jt_xyz"])[i],
+                                       item["jt_xyz"], rtol=2e-3,
+                                       atol=2e-3)
+            np.testing.assert_allclose(np.asarray(out["M"])[i],
+                                       item["M"], rtol=1e-4)
+
     def test_train_preprocess_batch_runs_and_labels_consistent(self):
         import jax
         import jax.numpy as jnp

@@ -110,6 +110,35 @@ def test_mesh_data_parallel_matches_single_device(tmp_path):
     tr8.close()
 
 
+def test_raw_mode_eval_matches_host_mode(tmp_path):
+    """Device-side preprocessing (raw items) must give the same test MPE
+    as the host cv2 pipeline for the same frames and weights."""
+    cfg = small_config(img_size=128)
+    host = SyntheticHandDataset(6, cfg.jt_num, 128, phase="test", seed=1)
+    raw = SyntheticHandDataset(6, cfg.jt_num, 128, phase="test", seed=1,
+                               mode="raw")
+    tr_h = Trainer(cfg, test_data=host, workdir=str(tmp_path / "h"))
+    mpe_h, _ = tr_h.test(epoch=1)
+    tr_r = Trainer(cfg, test_data=raw, workdir=str(tmp_path / "r"))
+    # same init seed -> same params
+    mpe_r, _ = tr_r.test(epoch=1)
+    np.testing.assert_allclose(mpe_r, mpe_h, rtol=1e-4)
+    tr_h.close()
+    tr_r.close()
+
+
+def test_raw_mode_training_runs(tmp_path):
+    cfg = small_config(img_size=128, batch_size=4, max_epoch=1)
+    train = SyntheticHandDataset(4, cfg.jt_num, 128, phase="train",
+                                 seed=0, mode="raw")
+    test = SyntheticHandDataset(4, cfg.jt_num, 128, phase="test", seed=1,
+                                mode="raw")
+    tr = Trainer(cfg, train, test, workdir=str(tmp_path / "raw"))
+    tr.train()
+    assert tr.ckpt.latest_epoch() == 1
+    tr.close()
+
+
 def test_one_epoch_hourglass_train(tmp_path):
     cfg = small_config(net="hourglass_1", kernel_size=0.4, max_epoch=1,
                        batch_size=4)
