@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from awr_tpu.config import Config
+from awr_tpu.data.pipeline import PrefetchLoader
 from awr_tpu.evaluation import Evaluator
 from awr_tpu.models import build_model
 from awr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
@@ -106,14 +107,13 @@ class Trainer:
         self._infer_step = jax.jit(make_infer_step(self.model, config))
 
         self.best_records = {"epoch": 0, "MPE": 1e10, "AUC": 0.0}
+        self.plateau = (PlateauScheduler(config.lr)
+                        if config.scheduler == "auto" else None)
         self.ckpt = CheckpointManager(os.path.join(self.work_dir, "ckpt"))
         if config.load_model:
             self.restore(config.load_model)
         elif self.ckpt.latest_epoch() is not None:
             self.restore()
-
-        self.plateau = (PlateauScheduler(config.lr)
-                        if config.scheduler == "auto" else None)
 
     # ------------------------------------------------------------ utils
     def print_msg(self, msg: str, stdout: bool = True):
@@ -201,8 +201,13 @@ class Trainer:
             losses, l_off, l_crd = [], 0.0, 0.0
             t0 = time.time()
             raw_mode = getattr(self.train_data, "mode", "host") == "raw"
-            for ii, raw in enumerate(
-                    self.train_data.batches(cfg.batch_size, shuffle=True)):
+            # threaded prefetch (reference: DataLoader num_workers,
+            # train.py:99); num_workers=1 preserves the host-RNG stream
+            loader = PrefetchLoader(
+                self.train_data, cfg.batch_size, shuffle=True,
+                num_workers=cfg.num_workers,
+                rng=np.random.RandomState(cfg.seed + epoch))
+            for ii, raw in enumerate(loader):
                 if raw_mode:
                     key = jax.random.fold_in(
                         jax.random.PRNGKey(cfg.seed),
@@ -252,7 +257,9 @@ class Trainer:
                               self.test_data.flip, cfg.jt_num)
         loss_sum, nb = 0.0, 0
         raw_mode = getattr(self.test_data, "mode", "host") == "raw"
-        for ii, raw in enumerate(self.test_data.batches(cfg.batch_size)):
+        loader = PrefetchLoader(self.test_data, cfg.batch_size,
+                                num_workers=cfg.num_workers)
+        for ii, raw in enumerate(loader):
             if raw_mode:
                 raw = self._preprocess_raw(raw, self.test_data,
                                            train=False)
@@ -294,6 +301,9 @@ class Trainer:
 
     # ------------------------------------------------------ checkpoints
     def save(self, epoch: int):
+        plateau = ([self.plateau.lr, self.plateau.best,
+                    float(self.plateau.num_bad)]
+                   if self.plateau is not None else [0.0, 0.0, 0.0])
         self.ckpt.save(epoch, dict(
             params=self.state.params,
             batch_stats=self.state.batch_stats,
@@ -301,6 +311,7 @@ class Trainer:
             step=self.state.step,
             best_records=self.best_records,
             lr=get_learning_rate(self.state.opt_state),
+            plateau=plateau,
         ))
 
     def restore(self, path: Optional[str] = None,
@@ -313,6 +324,7 @@ class Trainer:
             step=self.state.step,
             best_records=self.best_records,
             lr=0.0,
+            plateau=[0.0, 0.0, 0.0],
         )
         restored = mgr.restore(epoch, template=template)
         self.state = TrainState(
@@ -325,6 +337,12 @@ class Trainer:
         self.best_records = jax.tree_util.tree_map(
             lambda x: x.item() if hasattr(x, "item") else x,
             restored["best_records"])
+        if self.plateau is not None and "plateau" in restored:
+            lr, best, bad = [float(x) for x in restored["plateau"]]
+            if lr > 0:
+                self.plateau.lr = lr
+                self.plateau.best = best
+                self.plateau.num_bad = int(bad)
         self.print_msg(
             f"restored checkpoint (epoch {self.best_records['epoch']})")
 

@@ -139,6 +139,26 @@ def test_raw_mode_training_runs(tmp_path):
     tr.close()
 
 
+def test_supervise_all_stacks_vs_reference_mode(tmp_path):
+    """supervise_all_stacks=False reproduces the reference's effective
+    loss (last stack only, train.py:116-121); True sums all stacks."""
+    kw = dict(net="hourglass_2", kernel_size=0.4, batch_size=2,
+              img_size=64)
+    cfg_all = small_config(supervise_all_stacks=True, **kw)
+    cfg_last = small_config(supervise_all_stacks=False, **kw)
+    ds = SyntheticHandDataset(2, 14, 64, phase="train", seed=0)
+    tr_a = Trainer(cfg_all, ds, workdir=str(tmp_path / "a"))
+    tr_l = Trainer(cfg_last, ds, workdir=str(tmp_path / "b"))
+    batch, _ = tr_a._pad(next(ds.batches(2)))
+    dev = tr_a._put(batch)
+    _, m_a = tr_a._train_step(tr_a.state, dev)
+    _, m_l = tr_l._train_step(tr_l.state, dev)
+    # same init -> all-stack loss strictly exceeds last-stack loss
+    assert float(m_a["loss"]) > float(m_l["loss"]) > 0
+    tr_a.close()
+    tr_l.close()
+
+
 def test_one_epoch_hourglass_train(tmp_path):
     cfg = small_config(net="hourglass_1", kernel_size=0.4, max_epoch=1,
                        batch_size=4)
