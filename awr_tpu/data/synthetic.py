@@ -65,7 +65,7 @@ class SyntheticHandDataset(DepthDataset):
                  img_size: int = 128, cube=(300.0, 300.0, 300.0),
                  phase: str = "test", aug_para=(10.0, 0.1, 180.0),
                  seed: int = 0, mode: str = "host",
-                 shape=(480, 640)):
+                 shape=(480, 640), cache_renders: bool = True):
         self.n = num_samples
         self.jt_num = jt_num
         self.img_size = img_size
@@ -91,6 +91,7 @@ class SyntheticHandDataset(DepthDataset):
         # keep joint depth near the palm so everything fits in the cube
         self.joints[..., 2] = (self.centers[:, None, 2]
                                + g.uniform(-40, 40, (num_samples, jt_num)))
+        self._render_cache = {} if cache_renders else None
 
     def __len__(self):
         return self.n
@@ -101,8 +102,13 @@ class SyntheticHandDataset(DepthDataset):
     def raw_item(self, index: int):
         jt_xyz = self.joints[index]
         center_xyz = self.centers[index]
-        img = render_hand_depth(center_xyz, jt_xyz, self.paras, self.shape)
-        return img, jt_xyz.copy(), center_xyz.copy()
+        img = self._render_cache.get(index) if self._render_cache is not None else None
+        if img is None:
+            img = render_hand_depth(center_xyz, jt_xyz, self.paras,
+                                    self.shape)
+            if self._render_cache is not None:
+                self._render_cache[index] = img
+        return img.copy(), jt_xyz.copy(), center_xyz.copy()
 
     def __getitem__(self, index: int):
         img, jt_xyz, center_xyz = self.raw_item(index)

@@ -47,7 +47,12 @@ class Evaluator:
         pred[..., :2] = (pred[..., :2] + 1) * self.img_size / 2.0
         pred[..., 2] = (pred[..., 2] * cube[:, None, 2] / 2.0
                         + center[:, None, 2])
-        M_inv = np.linalg.inv(M.astype(np.float64)).astype(np.float32)
+        try:
+            M_inv = np.linalg.inv(M.astype(np.float64)).astype(np.float32)
+        except np.linalg.LinAlgError:
+            # degenerate transmat (reference eval_tool.py:33-36 prints and
+            # proceeds); use pseudo-inverse so the batch still scores
+            M_inv = np.linalg.pinv(M.astype(np.float64)).astype(np.float32)
         ones = np.ones_like(pred[..., :1])
         uv1 = np.concatenate([pred[..., :2], ones], axis=-1)
         uv = np.einsum("bij,bkj->bki", M_inv, uv1)

@@ -54,6 +54,9 @@ def add_common_args(ap: argparse.ArgumentParser):
                     choices=["host", "raw"],
                     help="'host': reference-exact cv2 pipeline on CPU; "
                          "'raw': fused device-side preprocessing")
+    ap.add_argument("--profile-dir", default="",
+                    help="write a jax.profiler trace here (Perfetto/"
+                         "TensorBoard-loadable)")
 
 
 def make_datasets(args, cfg: Config, train: bool = False):
@@ -92,7 +95,13 @@ def main(argv=None):
 
     _, test = make_datasets(args, cfg)
     trainer = Trainer(cfg, test_data=test)
-    mpe, auc = trainer.test(args.epoch)
+    if args.profile_dir:
+        from awr_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            mpe, auc = trainer.test(args.epoch)
+    else:
+        mpe, auc = trainer.test(args.epoch)
     print(f"results: [MPE {mpe:.3f}][AUC {auc:.3f}]")
     trainer.close()
     return mpe

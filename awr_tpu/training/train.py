@@ -41,7 +41,13 @@ def main(argv=None):
 
     train, test = make_datasets(args, cfg, train=True)
     trainer = Trainer(cfg, train_data=train, test_data=test)
-    trainer.train()
+    if args.profile_dir:
+        from awr_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            trainer.train()
+    else:
+        trainer.train()
     trainer.close()
 
 

@@ -207,6 +207,7 @@ class Trainer:
                 self.train_data, cfg.batch_size, shuffle=True,
                 num_workers=cfg.num_workers,
                 rng=np.random.RandomState(cfg.seed + epoch))
+            pending = []  # defer device->host syncs to print/epoch time
             for ii, raw in enumerate(loader):
                 if raw_mode:
                     key = jax.random.fold_in(
@@ -218,26 +219,32 @@ class Trainer:
                 dev_batch = self._put(batch)
                 self.state, metrics = self._train_step(self.state,
                                                        dev_batch)
-                losses.append(float(metrics["loss"]))
-                l_off = float(metrics["loss_offset"])
-                l_crd = float(metrics["loss_coord"])
-                eval_tool.feed_batch(
-                    np.asarray(metrics["jt_uvd_pred"])[:n],
-                    batch["jt_xyz"][:n], batch["center_xyz"][:n],
-                    batch["M"][:n], batch["cube"][:n])
+                # keep everything on device; the step stream never stalls
+                losses.append(metrics["loss"])
+                l_off, l_crd = metrics["loss_offset"], metrics["loss_coord"]
+                pending.append((metrics["jt_uvd_pred"], n, batch))
                 if (ii + 1) % cfg.print_freq == 0:
                     self.print_msg(
                         "[epoch: {:02d}][train loss: {:.5f}]"
                         "[offset_loss: {:.5f}][coord_loss: {:.5f}]".format(
-                            epoch, float(np.mean(losses)), l_off, l_crd))
+                            epoch,
+                            float(np.mean([float(x) for x in losses])),
+                            float(l_off), float(l_crd)))
                     losses = []
+            for jt_pred, n, batch in pending:
+                eval_tool.feed_batch(
+                    np.asarray(jt_pred)[:n], batch["jt_xyz"][:n],
+                    batch["center_xyz"][:n], batch["M"][:n],
+                    batch["cube"][:n])
             train_mpe, _, _, _, _ = eval_tool.get_measures()
             eval_tool = Evaluator(cfg.img_size, self.train_data.paras,
                                   self.train_data.flip, cfg.jt_num)
             self.print_msg(
                 "[epoch {:02d}], [train loss {:.5f}], [train mpe {:.5f}],"
                 " [lr {:.1e}], [{:.1f}s]".format(
-                    epoch, float(np.mean(losses)) if losses else 0.0,
+                    epoch,
+                    (float(np.mean([float(x) for x in losses]))
+                     if losses else 0.0),
                     train_mpe, lr, time.time() - t0))
 
             if self.plateau is not None:

@@ -49,6 +49,21 @@ def test_hourglass_output_shape(nstack):
     assert out.shape == (nstack, 1, 32, 32, 56)
 
 
+@pytest.mark.parametrize("depth", [101, 152])
+def test_deep_resnets_shape_only(depth):
+    """101/152 are too slow to run on the test CPU; validate the traced
+    module structure and output shape without compiling."""
+    import jax
+
+    model = get_deconv_net(depth, 14, 2)
+    img = jnp.zeros((1, 64, 64, 1))
+    variables = jax.eval_shape(
+        lambda: model.init(KEY, img, train=True))
+    out = jax.eval_shape(
+        lambda v: model.apply(v, img, train=False), variables)
+    assert out.shape == (1, 32, 32, 56)
+
+
 def test_build_model_factory():
     assert build_model("resnet_18", 14, 2).block == "basic"
     assert build_model("resnet_50", 14, 2).block == "bottleneck"
