@@ -278,9 +278,11 @@ def draw_augment_params(key, batch: int, sigma_trans=10.0, sigma_scale=0.1,
     return op, trans, scale, rot
 
 
-@functools.partial(jax.jit, static_argnames=("dsize", "flip"))
-def _train_preprocess_kernel(imgs, jt_xyz, centers_uvd, cubes, paras, p,
-                             aug_params, dsize: int, flip: int):
+def train_preprocess(imgs, jt_xyz, centers_uvd, cubes, paras, p,
+                     aug_params, dsize: int, flip: int):
+    """Traceable train-path preprocessing (see train_preprocess_batch);
+    composable into a larger jitted step (e.g. the fused raw-mode train
+    step in awr_tpu.training.steps)."""
     op, trans, scale, rot = aug_params
 
     def one(img, jt, c_uvd, cube, us, ue, vs, ve, zs, ze, sw, sh, tx, ty,
@@ -329,8 +331,9 @@ def train_preprocess_batch(imgs, jt_xyz, centers_uvd, cubes, paras,
     p_np = crop_params_np(np.asarray(centers_uvd), np.asarray(cubes),
                           np.asarray(paras), dsize)
     p = {k: jnp.asarray(v) for k, v in p_np.items()}
-    return _train_preprocess_kernel(
+    return jax.jit(train_preprocess,
+                   static_argnames=("dsize", "flip"))(
         jnp.asarray(imgs), jnp.asarray(jt_xyz, jnp.float32),
         jnp.asarray(centers_uvd, jnp.float32),
         jnp.asarray(cubes, jnp.float32), jnp.asarray(paras),
-        p, aug_params, dsize, flip)
+        p, aug_params, dsize=dsize, flip=flip)

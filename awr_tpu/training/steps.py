@@ -120,6 +120,65 @@ def make_eval_step(model, cfg):
     return eval_step
 
 
+def make_raw_train_step(model, optimizer, cfg, paras, flip: int):
+    """Fused raw-mode step: device crop/augment/normalize + encode +
+    forward + loss + update in ONE jitted program.
+
+    Takes raw (B, H0, W0) mm frames, absolute joints, host-computed
+    f64-exact crop params, and a PRNG key for the per-sample
+    choose-one-of-four augmentation (awr_tpu.data.device).
+    """
+    from awr_tpu.data.device import draw_augment_params, train_preprocess
+
+    base = make_train_step(model, optimizer, cfg)
+    paras_arr = jnp.asarray(paras, jnp.float32)
+    s_t, s_s, s_r = cfg.augment_para
+
+    def raw_train_step(state: TrainState, raw, crop_params, key):
+        aug = draw_augment_params(key, raw["img"].shape[0], s_t, s_s, s_r)
+        pre = train_preprocess(raw["img"], raw["jt_xyz"],
+                               raw["centers_uvd"], raw["cubes"],
+                               paras_arr, crop_params, aug,
+                               cfg.img_size, flip)
+        batch = dict(img=pre["img"], jt_uvd=pre["jt_uvd"],
+                     jt_xyz=pre["jt_xyz"])
+        state, metrics = base(state, batch)
+        metrics.update(M=pre["M"], cube=pre["cube"],
+                       center_xyz=pre["center_xyz"],
+                       jt_xyz=pre["jt_xyz"])
+        return state, metrics
+
+    return raw_train_step
+
+
+def make_raw_eval_step(model, cfg, paras, flip: int):
+    """Fused raw-mode eval: device crop/normalize + forward + decode +
+    losses in one jitted program (augmentation forced to 'none')."""
+    from awr_tpu.data.device import train_preprocess
+
+    base = make_eval_step(model, cfg)
+    paras_arr = jnp.asarray(paras, jnp.float32)
+
+    def raw_eval_step(params, batch_stats, raw, crop_params):
+        B = raw["img"].shape[0]
+        aug = (jnp.full((B,), 3, jnp.int32),  # op 3 == none
+               jnp.zeros((B, 3)), jnp.ones((B,)), jnp.zeros((B,)))
+        pre = train_preprocess(raw["img"], raw["jt_xyz"],
+                               raw["centers_uvd"], raw["cubes"],
+                               paras_arr, crop_params, aug,
+                               cfg.img_size, flip)
+        batch = dict(img=pre["img"], jt_uvd=pre["jt_uvd"],
+                     jt_xyz=pre["jt_xyz"])
+        metrics = base(params, batch_stats, batch)
+        metrics.update(M=pre["M"], cube=pre["cube"],
+                       center_xyz=pre["center_xyz"],
+                       jt_xyz=pre["jt_xyz"], img=pre["img"],
+                       jt_uvd=pre["jt_uvd"])
+        return metrics
+
+    return raw_eval_step
+
+
 def make_infer_step(model, cfg):
     """Forward + decode only (throughput path; bf16-able)."""
     kernel = cfg.kernel_size

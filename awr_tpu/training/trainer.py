@@ -44,6 +44,8 @@ from awr_tpu.training.steps import (
     TrainState,
     make_eval_step,
     make_infer_step,
+    make_raw_eval_step,
+    make_raw_train_step,
     make_train_step,
 )
 from awr_tpu.vis import plot_pose
@@ -105,6 +107,15 @@ class Trainer:
             donate_argnums=(0,))
         self._eval_step = jax.jit(make_eval_step(self.model, config))
         self._infer_step = jax.jit(make_infer_step(self.model, config))
+        # fused raw-mode steps (device preprocessing inside the program)
+        ds = train_data if train_data is not None else test_data
+        if ds is not None and getattr(ds, "mode", "host") == "raw":
+            self._raw_train_step = jax.jit(
+                make_raw_train_step(self.model, self.optimizer, config,
+                                    ds.paras, ds.flip),
+                donate_argnums=(0,))
+            self._raw_eval_step = jax.jit(
+                make_raw_eval_step(self.model, config, ds.paras, ds.flip))
 
         self.best_records = {"epoch": 0, "MPE": 1e10, "AUC": 0.0}
         self.plateau = (PlateauScheduler(config.lr)
@@ -136,49 +147,26 @@ class Trainer:
         dev = {k: jnp.asarray(batch[k]) for k in keep if k in batch}
         return shard_batch(dev, self.mesh)
 
-    def _preprocess_raw(self, raw, dataset, train: bool, step_key=None):
-        """Raw-mode batches: run the fused device preprocessing
-        (awr_tpu.data.device) instead of the host cv2 path."""
-        from awr_tpu.data.device import (crop_normalize_batch,
-                                         draw_augment_params,
-                                         train_preprocess_batch)
+    def _raw_inputs(self, raw, dataset):
+        """Raw-mode batch -> (sharded device inputs, sharded f64-exact
+        crop params, valid count) for the fused raw steps."""
+        from awr_tpu.data.transforms import crop_params_np
         from awr_tpu.geometry import xyz2uvd_np
 
-        cfg = self.cfg
-        paras = np.asarray(dataset.paras, np.float32)
-        centers_uvd = xyz2uvd_np(raw["center_xyz"], dataset.paras,
-                                 dataset.flip)
-        if train:
-            params = draw_augment_params(step_key, len(raw["img"]),
-                                         *cfg.augment_para)
-            out = train_preprocess_batch(
-                raw["img"], raw["jt_xyz"], centers_uvd, raw["cube"],
-                jnp.asarray(paras), params, cfg.img_size, dataset.flip)
-            return {k: np.asarray(v) for k, v in out.items()}
-        img, M = crop_normalize_batch(raw["img"], centers_uvd,
-                                      raw["cube"], paras, cfg.img_size)
-        # label normalization on host (reference nyu_loader.py:61-64)
-        center = np.asarray(raw["center_xyz"], np.float32)
-        cube = np.asarray(raw["cube"], np.float32)
-        jt_rel = np.asarray(raw["jt_xyz"], np.float32) - center[:, None]
-        jt_uvd = xyz2uvd_np(jt_rel + center[:, None], dataset.paras,
-                            dataset.flip)
-        M_np = np.asarray(M)
-        uv1 = np.concatenate([jt_uvd[..., :2],
-                              np.ones_like(jt_uvd[..., :1])], -1)
-        uv = np.einsum("bij,bkj->bki", M_np, uv1)
-        jt_uvd_px = np.concatenate([uv[..., :2] / uv[..., 2:],
-                                    jt_uvd[..., 2:]], -1)
-        jt_uvd_n = np.stack(
-            [jt_uvd_px[..., 0] / (cfg.img_size / 2.0) - 1,
-             jt_uvd_px[..., 1] / (cfg.img_size / 2.0) - 1,
-             (jt_uvd_px[..., 2] - center[:, None, 2])
-             / (cube[:, None, 2] / 2.0)], -1)
-        return dict(img=np.asarray(img),
-                    jt_uvd=jt_uvd_n.astype(np.float32),
-                    jt_xyz=(jt_rel / (cube[:, None] / 2.0)).astype(
-                        np.float32),
-                    center_xyz=center, M=M_np, cube=cube)
+        batch, n = self._pad(raw)
+        centers_uvd = xyz2uvd_np(batch["center_xyz"], dataset.paras,
+                                 dataset.flip).astype(np.float64)
+        p = crop_params_np(centers_uvd, batch["cube"],
+                           np.asarray(dataset.paras), self.cfg.img_size)
+        dev = shard_batch(dict(
+            img=jnp.asarray(batch["img"], jnp.float32),
+            jt_xyz=jnp.asarray(batch["jt_xyz"], jnp.float32),
+            centers_uvd=jnp.asarray(centers_uvd, jnp.float32),
+            cubes=jnp.asarray(batch["cube"], jnp.float32),
+        ), self.mesh)
+        p_dev = shard_batch({k: jnp.asarray(v) for k, v in p.items()},
+                            self.mesh)
+        return dev, p_dev, n
 
     # ------------------------------------------------------------ train
     def train(self):
@@ -210,19 +198,27 @@ class Trainer:
             pending = []  # defer device->host syncs to print/epoch time
             for ii, raw in enumerate(loader):
                 if raw_mode:
+                    # fused step: device crop/augment + train in one jit
+                    dev_raw, p, n = self._raw_inputs(raw, self.train_data)
                     key = jax.random.fold_in(
                         jax.random.PRNGKey(cfg.seed),
                         epoch * 1_000_003 + ii)
-                    raw = self._preprocess_raw(raw, self.train_data,
-                                               train=True, step_key=key)
-                batch, n = self._pad(raw)
-                dev_batch = self._put(batch)
-                self.state, metrics = self._train_step(self.state,
-                                                       dev_batch)
+                    self.state, metrics = self._raw_train_step(
+                        self.state, dev_raw, p, key)
+                    fb = dict(jt_xyz=metrics["jt_xyz"],
+                              center_xyz=metrics["center_xyz"],
+                              M=metrics["M"], cube=metrics["cube"])
+                else:
+                    batch, n = self._pad(raw)
+                    dev_batch = self._put(batch)
+                    self.state, metrics = self._train_step(self.state,
+                                                           dev_batch)
+                    fb = {k: batch[k] for k in ("jt_xyz", "center_xyz",
+                                                "M", "cube")}
                 # keep everything on device; the step stream never stalls
                 losses.append(metrics["loss"])
                 l_off, l_crd = metrics["loss_offset"], metrics["loss_coord"]
-                pending.append((metrics["jt_uvd_pred"], n, batch))
+                pending.append((metrics["jt_uvd_pred"], n, fb))
                 if (ii + 1) % cfg.print_freq == 0:
                     self.print_msg(
                         "[epoch: {:02d}][train loss: {:.5f}]"
@@ -231,11 +227,13 @@ class Trainer:
                             float(np.mean([float(x) for x in losses])),
                             float(l_off), float(l_crd)))
                     losses = []
-            for jt_pred, n, batch in pending:
+            for jt_pred, n, fb in pending:
                 eval_tool.feed_batch(
-                    np.asarray(jt_pred)[:n], batch["jt_xyz"][:n],
-                    batch["center_xyz"][:n], batch["M"][:n],
-                    batch["cube"][:n])
+                    np.asarray(jt_pred)[:n],
+                    np.asarray(fb["jt_xyz"])[:n],
+                    np.asarray(fb["center_xyz"])[:n],
+                    np.asarray(fb["M"])[:n],
+                    np.asarray(fb["cube"])[:n])
             train_mpe, _, _, _, _ = eval_tool.get_measures()
             eval_tool = Evaluator(cfg.img_size, self.train_data.paras,
                                   self.train_data.flip, cfg.jt_num)
@@ -268,12 +266,19 @@ class Trainer:
                                 num_workers=cfg.num_workers)
         for ii, raw in enumerate(loader):
             if raw_mode:
-                raw = self._preprocess_raw(raw, self.test_data,
-                                           train=False)
-            batch, n = self._pad(raw)
-            dev_batch = self._put(batch)
-            metrics = self._eval_step(self.state.params,
-                                      self.state.batch_stats, dev_batch)
+                # fused: device crop/normalize + forward + decode in one jit
+                dev_raw, p, n = self._raw_inputs(raw, self.test_data)
+                metrics = self._raw_eval_step(
+                    self.state.params, self.state.batch_stats, dev_raw, p)
+                batch = {k: np.asarray(metrics[k]) for k in
+                         ("img", "jt_uvd", "jt_xyz", "center_xyz", "M",
+                          "cube")}
+            else:
+                batch, n = self._pad(raw)
+                dev_batch = self._put(batch)
+                metrics = self._eval_step(self.state.params,
+                                          self.state.batch_stats,
+                                          dev_batch)
             loss_sum += float(metrics["loss"])
             nb += 1
             jt_pred = np.asarray(metrics["jt_uvd_pred"])[:n]
