@@ -10,7 +10,7 @@ are explicit values rather than process-global state.  TPU-specific knobs
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 # Per-dataset tables (reference config.py:1-18).
 JOINT = {"nyu": 14, "icvl": 16, "msra": 21, "hands17": 21}

@@ -4,9 +4,7 @@ checkpoint save/restore, mesh data-parallel equivalence."""
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from awr_tpu.config import Config
 from awr_tpu.data.synthetic import SyntheticHandDataset
@@ -83,8 +81,6 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_mesh_data_parallel_matches_single_device(tmp_path):
     """Same batch, 8-device sharded vs 1-device: identical step results
     (global-view pjit semantics; SURVEY.md section 5.8)."""
-    from awr_tpu.parallel.mesh import make_mesh
-
     assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
     # SGD: the update is linear in the gradient, so float reduction-order
     # noise stays O(eps).  (Adam's first step is ~lr*sign(g), which flips
