@@ -41,7 +41,9 @@ _HI = jax.lax.Precision.HIGHEST
 def _decode_kernel(off_ref, img_ref, e3_ref, exyd_ref, out_ref, *,
                    J, F, kernel):
     P = F * F
-    off = off_ref[0]  # (4J, P)
+    # NHWC-flat (P, 4J) block -> channels-first in VMEM (saves the
+    # 2x full-map HBM round-trip an XLA transpose outside would cost)
+    off = off_ref[0].T  # (4J, P)
     img = img_ref[0]  # (1, P)
     mask = (img < FG_THRESHOLD).astype(jnp.float32)  # (1, P)
 
@@ -105,9 +107,7 @@ def decode_pallas(offset: jax.Array, img: jax.Array, kernel_size: float,
     J = C // 4
     P = F * F
     img_f = resize_nearest(img, F).astype(jnp.float32).reshape(B, 1, P)
-    # channels-first flat layout for the kernel
-    off = jnp.transpose(offset.astype(jnp.float32).reshape(B, P, C),
-                        (0, 2, 1))
+    off = offset.astype(jnp.float32).reshape(B, P, C)
 
     # E3[3j+a, j] = 1 (channel expansion); Exyd[a][3j+a, j] = 1 (scatter)
     e3 = np.zeros((3 * J, J), np.float32)
@@ -123,7 +123,7 @@ def decode_pallas(offset: jax.Array, img: jax.Array, kernel_size: float,
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, C, P), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, P, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
