@@ -96,6 +96,16 @@ class NYUDataset(DepthDataset):
         center_path = os.path.join(
             self.root, f"center_{self.phase}_refined.txt"
         )
+        for p, what in ((data_path, "split directory"),
+                        (label_path, "joint_data.mat ground truth"),
+                        (center_path, "refined hand centers")):
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"NYU {what} not found at {p}; expected the reference "
+                    f"layout <root>/{{train,test}}/depth_1*.png + "
+                    f"joint_data.mat and <root>/center_{{split}}_refined"
+                    f".txt (see README).  For offline runs use "
+                    f"--synthetic / SyntheticHandDataset.")
         paths = sorted(glob(os.path.join(data_path, "depth_1*.png")))
         labels = sio.loadmat(label_path)
         uvd = labels["joint_uvd"][0][:, JOINT_SELECT, :][:, EVAL_SELECT, :]

@@ -98,6 +98,36 @@ def test_hourglass_forward_parity(nstack):
                                    atol=1e-5)
 
 
+def test_pth_checkpoint_roundtrip(tmp_path):
+    """load_torch_checkpoint reads the reference's torch.save format
+    ({'model': state_dict, 'optimizer': ..., 'best_records': ...},
+    reference train.py:165-172)."""
+    import torch
+
+    from model.resnet_deconv import get_deconv_net as ref_factory
+
+    from awr_tpu.models.torch_import import (
+        import_reference_weights,
+        load_torch_checkpoint,
+    )
+
+    ref = ref_factory(18, 14, 2)
+    sd = randomize_state_dict(ref, seed=4)
+    path = str(tmp_path / "epoch_1.pth")
+    torch.save({"model": ref.state_dict(),
+                "optimizer": {},
+                "best_records": {"epoch": 1, "MPE": 8.5}}, path)
+    loaded = load_torch_checkpoint(path)
+    assert "pre.0.weight" in loaded
+    variables = import_reference_weights("resnet_18", path)
+    import jax.numpy as jnp
+    from awr_tpu.models import get_deconv_net
+
+    model = get_deconv_net(18, 14, 2)
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 1)), train=False)
+    assert out.shape == (1, 32, 32, 56)
+
+
 def test_import_covers_all_torch_params():
     """Every tensor in the torch state dict must be consumed (except the
     never-used hourglass skip_layer on identity residuals and BN counters)."""
