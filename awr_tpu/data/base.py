@@ -13,7 +13,7 @@ from typing import Optional
 import numpy as np
 
 from awr_tpu.data.transforms import normalize_labels
-from awr_tpu.geometry import uvd2xyz_np, xyz2uvd_np
+from awr_tpu.geometry import transform_uv, uvd2xyz_np, xyz2uvd_np
 
 
 class DepthDataset:
@@ -35,12 +35,8 @@ class DepthDataset:
         else:
             img = c.normalize(img.max(), img, center_xyz[2], cube[2])
 
-        jt_uvd_px = np.asarray(
-            xyz2uvd_np(jt_xyz + center_xyz, self.paras, self.flip)
-        )
-        uv1 = np.hstack([jt_uvd_px[:, :2], np.ones((jt_uvd_px.shape[0], 1))])
-        uv = (M @ uv1.T).T
-        jt_uvd_px = np.hstack([uv[:, :2] / uv[:, 2:], jt_uvd_px[:, 2:]])
+        jt_uvd_px = np.asarray(transform_uv(
+            xyz2uvd_np(jt_xyz + center_xyz, self.paras, self.flip), M))
         jt_xyz_n, jt_uvd_n = normalize_labels(
             jt_xyz, jt_uvd_px, center_xyz, cube, self.img_size
         )

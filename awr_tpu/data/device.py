@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from awr_tpu.data.transforms import crop_params_np
-from awr_tpu.geometry import rotate_pts_uv, uvd2xyz, xyz2uvd
+from awr_tpu.geometry import rotate_pts_uv, transform_uv, uvd2xyz, xyz2uvd
 
 
 def _bounds_f32(center_uvd, cube, paras):
@@ -295,12 +295,8 @@ def train_preprocess(imgs, jt_xyz, centers_uvd, cubes, paras, p,
             crop, jt, c_uvd, cube, M0, paras, flip, op_i, t_i, s_i, r_i,
             dsize)
         center_xyz = uvd2xyz(c_uvd, paras, flip)
-        jt_uvd = xyz2uvd(jt + center_xyz, paras, flip)
-        uv1 = jnp.concatenate([jt_uvd[:, :2], jnp.ones_like(jt_uvd[:, :1])],
-                              -1)
-        uv = (M @ uv1.T).T
-        jt_uvd_px = jnp.concatenate([uv[:, :2] / uv[:, 2:], jt_uvd[:, 2:]],
-                                    -1)
+        jt_uvd_px = transform_uv(
+            xyz2uvd(jt + center_xyz, paras, flip), M)
         jt_uvd_n = jnp.stack(
             [jt_uvd_px[:, 0] / (dsize / 2.0) - 1,
              jt_uvd_px[:, 1] / (dsize / 2.0) - 1,

@@ -56,6 +56,19 @@ class PrefetchLoader:
         lock = threading.Lock()
         stop = threading.Event()
 
+        def put_result(j):
+            # stop-aware put: if the consumer abandons the generator the
+            # bounded queue could otherwise block this thread forever,
+            # pinning a decoded batch in memory
+            while not stop.is_set():
+                try:
+                    out_q.put(j, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+            with lock:
+                results.pop(j, None)
+
         def worker():
             while not stop.is_set():
                 try:
@@ -68,11 +81,10 @@ class PrefetchLoader:
                              for k in items[0]}
                     with lock:
                         results[j] = batch
-                    out_q.put(j)
                 except Exception as e:  # surface worker errors to consumer
                     with lock:
                         results[j] = e
-                    out_q.put(j)
+                put_result(j)
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]

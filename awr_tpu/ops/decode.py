@@ -12,14 +12,7 @@ import functools
 
 import jax
 
-from awr_tpu.ops.functional import offset2joint_softmax
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+from awr_tpu.ops.functional import offset2joint_softmax, on_tpu
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -46,6 +39,6 @@ _decode_pallas_vjp.defvjp(_fwd, _bwd)
 
 def decode_offsets(offset, img, kernel_size, use_pallas: bool = True):
     """(B, F, F, 4J) dense map + (B, H, W) depth -> (B, J, 3) joints."""
-    if use_pallas and _on_tpu():
+    if use_pallas and on_tpu():
         return _decode_pallas_vjp(offset, img, kernel_size)
     return offset2joint_softmax(offset, img, kernel_size)

@@ -9,20 +9,13 @@ from __future__ import annotations
 
 import jax
 
-from awr_tpu.ops.functional import joint2offset
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+from awr_tpu.ops.functional import joint2offset, on_tpu
 
 
 def encode_offsets(jt_uvd, img, kernel_size, feature_size,
                    use_pallas: bool = True):
     """(B, J, 3) joints + (B, H, W) depth -> (B, F, F, 4J) GT field."""
-    if use_pallas and _on_tpu():
+    if use_pallas and on_tpu():
         from awr_tpu.ops.pallas_encode import encode_pallas
 
         out = encode_pallas(jt_uvd, img, kernel_size, feature_size)

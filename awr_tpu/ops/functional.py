@@ -160,6 +160,14 @@ def offset2joint_softmax(
     return jnp.sum(est * w[..., None], axis=1)  # (B, J, 3)
 
 
+def on_tpu() -> bool:
+    """Whether the default backend is a TPU (Pallas dispatch predicate)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def nchw_to_nhwc(x):
     """Adapter for reference-layout (B, C, H, W) dense maps."""
     return jnp.transpose(x, (0, 2, 3, 1))

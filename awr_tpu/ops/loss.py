@@ -15,10 +15,21 @@ import jax.numpy as jnp
 DELTA = 0.01
 
 
-def smooth_l1_loss(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Mean piecewise smooth-L1 over all elements (scalar)."""
+def smooth_l1_loss(x: jax.Array, y: jax.Array,
+                   sample_weight: jax.Array | None = None) -> jax.Array:
+    """Mean piecewise smooth-L1 over all elements (scalar).
+
+    ``sample_weight`` (B,) masks padded batch rows (mesh-size padding):
+    the result equals the plain mean over the weight-1 rows, so padded
+    duplicates contribute nothing to loss or gradients.
+    """
     assert x.shape == y.shape, (x.shape, y.shape)
     z = (x - y).astype(jnp.float32)
     az = jnp.abs(z)
     val = jnp.where(az < DELTA, 0.5 * z * z, DELTA * (az - 0.5 * DELTA))
-    return jnp.mean(val)
+    if sample_weight is None:
+        return jnp.mean(val)
+    w = sample_weight.astype(jnp.float32)
+    w_full = w.reshape((-1,) + (1,) * (val.ndim - 1))
+    per_sample_elems = val[0].size
+    return jnp.sum(val * w_full) / (jnp.sum(w) * per_sample_elems)

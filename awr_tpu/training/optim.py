@@ -48,9 +48,12 @@ def get_learning_rate(opt_state) -> float:
 
 def step_lr(base_lr: float, epoch: int, step_size: int,
             gamma: float = 0.1) -> float:
-    """torch StepLR: lr = base * gamma^(epoch // step_size)
-    (reference train.py:92, stepped per epoch at train.py:160)."""
-    return base_lr * gamma ** (epoch // step_size)
+    """torch StepLR as the reference schedules it: ``scheduler.step(e)``
+    runs at the END of epoch e (train.py:160), so 1-based epoch E trains
+    at ``base * gamma^((E-1) // step_size)`` — epoch 30 still runs at
+    full lr with the NYU step=30 recipe; epoch 31 is the first decayed
+    one."""
+    return base_lr * gamma ** ((epoch - 1) // step_size)
 
 
 class PlateauScheduler:

@@ -53,6 +53,8 @@ def make_train_step(model, optimizer, cfg):
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         img = batch["img"]  # (B, S, S)
+        # (B,) validity weights mask mesh-size padding rows (if present)
+        w = batch.get("w")
         offset_gt = encode_offsets(batch["jt_uvd"], img, kernel, feat,
                                    use_pallas=cfg.use_pallas)
 
@@ -70,9 +72,10 @@ def make_train_step(model, optimizer, cfg):
             for s in idxs:
                 jt_pred = decode_offsets(preds[s], img, kernel,
                                          use_pallas=cfg.use_pallas)
-                loss_coord += coord_w * smooth_l1_loss(jt_pred,
-                                                       batch["jt_uvd"])
-                loss_offset += dense_w * smooth_l1_loss(preds[s], offset_gt)
+                loss_coord += coord_w * smooth_l1_loss(
+                    jt_pred, batch["jt_uvd"], sample_weight=w)
+                loss_offset += dense_w * smooth_l1_loss(
+                    preds[s], offset_gt, sample_weight=w)
             loss = loss_coord + loss_offset
             return loss, (mut["batch_stats"], jt_pred, loss_offset,
                           loss_coord)
@@ -103,6 +106,7 @@ def make_eval_step(model, cfg):
 
     def eval_step(params, batch_stats, batch):
         img = batch["img"]
+        w = batch.get("w")
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             img[..., None], train=False,
@@ -112,8 +116,10 @@ def make_eval_step(model, cfg):
                                    use_pallas=cfg.use_pallas)
         jt_pred = decode_offsets(preds[-1], img, kernel,
                                  use_pallas=cfg.use_pallas)
-        loss_coord = coord_w * smooth_l1_loss(jt_pred, batch["jt_uvd"])
-        loss_offset = dense_w * smooth_l1_loss(preds[-1], offset_gt)
+        loss_coord = coord_w * smooth_l1_loss(jt_pred, batch["jt_uvd"],
+                                              sample_weight=w)
+        loss_offset = dense_w * smooth_l1_loss(preds[-1], offset_gt,
+                                               sample_weight=w)
         return dict(jt_uvd_pred=jt_pred, loss=loss_coord + loss_offset,
                     loss_offset=loss_offset, loss_coord=loss_coord)
 
@@ -142,6 +148,8 @@ def make_raw_train_step(model, optimizer, cfg, paras, flip: int):
                                cfg.img_size, flip)
         batch = dict(img=pre["img"], jt_uvd=pre["jt_uvd"],
                      jt_xyz=pre["jt_xyz"])
+        if "w" in raw:
+            batch["w"] = raw["w"]
         state, metrics = base(state, batch)
         metrics.update(M=pre["M"], cube=pre["cube"],
                        center_xyz=pre["center_xyz"],
@@ -169,6 +177,8 @@ def make_raw_eval_step(model, cfg, paras, flip: int):
                                cfg.img_size, flip)
         batch = dict(img=pre["img"], jt_uvd=pre["jt_uvd"],
                      jt_xyz=pre["jt_xyz"])
+        if "w" in raw:
+            batch["w"] = raw["w"]
         metrics = base(params, batch_stats, batch)
         metrics.update(M=pre["M"], cube=pre["cube"],
                        center_xyz=pre["center_xyz"],

@@ -134,16 +134,23 @@ class Trainer:
         self._log_fh.flush()
 
     def _pad(self, batch):
-        """Pad batch to a multiple of the mesh size; returns (batch, n)."""
+        """Pad batch to a multiple of the mesh size; returns (batch, n).
+
+        Adds a (B,) validity weight vector 'w' so padded duplicate rows
+        are masked out of losses and gradients (the reference trains on
+        the exact partial final batch)."""
         n = len(batch["img"])
         rem = (-n) % self.n_dev
         if rem:
             batch = {k: np.concatenate([v, np.repeat(v[-1:], rem, 0)])
                      for k, v in batch.items()}
+        w = np.zeros(n + rem, np.float32)
+        w[:n] = 1.0
+        batch = dict(batch, w=w)
         return batch, n
 
     def _put(self, batch):
-        keep = ("img", "jt_uvd", "jt_xyz")
+        keep = ("img", "jt_uvd", "jt_xyz", "w")
         dev = {k: jnp.asarray(batch[k]) for k in keep if k in batch}
         return shard_batch(dev, self.mesh)
 
@@ -163,6 +170,7 @@ class Trainer:
             jt_xyz=jnp.asarray(batch["jt_xyz"], jnp.float32),
             centers_uvd=jnp.asarray(centers_uvd, jnp.float32),
             cubes=jnp.asarray(batch["cube"], jnp.float32),
+            w=jnp.asarray(batch["w"], jnp.float32),
         ), self.mesh)
         p_dev = shard_batch({k: jnp.asarray(v) for k, v in p.items()},
                             self.mesh)
@@ -187,13 +195,19 @@ class Trainer:
                 opt_state=set_learning_rate(self.state.opt_state, lr))
 
             losses, l_off, l_crd = [], 0.0, 0.0
+            epoch_losses = []
             t0 = time.time()
             raw_mode = getattr(self.train_data, "mode", "host") == "raw"
             # threaded prefetch (reference: DataLoader num_workers,
-            # train.py:99); num_workers=1 preserves the host-RNG stream
+            # train.py:99).  Host-mode training draws augmentations from
+            # the dataset's single RandomState inside __getitem__, so it
+            # MUST load sequentially to keep the stream deterministic
+            # and reference-ordered; raw mode augments on device with
+            # per-step jax keys and can use all workers.
+            workers = cfg.num_workers if raw_mode else 1
             loader = PrefetchLoader(
                 self.train_data, cfg.batch_size, shuffle=True,
-                num_workers=cfg.num_workers,
+                num_workers=workers,
                 rng=np.random.RandomState(cfg.seed + epoch))
             pending = []  # defer device->host syncs to print/epoch time
             for ii, raw in enumerate(loader):
@@ -217,6 +231,7 @@ class Trainer:
                                                 "M", "cube")}
                 # keep everything on device; the step stream never stalls
                 losses.append(metrics["loss"])
+                epoch_losses.append(metrics["loss"])
                 l_off, l_crd = metrics["loss_offset"], metrics["loss_coord"]
                 pending.append((metrics["jt_uvd_pred"], n, fb))
                 if (ii + 1) % cfg.print_freq == 0:
@@ -241,8 +256,8 @@ class Trainer:
                 "[epoch {:02d}], [train loss {:.5f}], [train mpe {:.5f}],"
                 " [lr {:.1e}], [{:.1f}s]".format(
                     epoch,
-                    (float(np.mean([float(x) for x in losses]))
-                     if losses else 0.0),
+                    (float(np.mean([float(x) for x in epoch_losses]))
+                     if epoch_losses else 0.0),
                     train_mpe, lr, time.time() - t0))
 
             if self.plateau is not None:

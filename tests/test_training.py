@@ -135,6 +135,48 @@ def test_raw_mode_training_runs(tmp_path):
     tr.close()
 
 
+def test_padded_batch_loss_matches_unpadded(tmp_path):
+    """Mesh-size padding must not change the loss: the (B,) validity
+    weights mask duplicate rows exactly."""
+    tr = make_trainer(tmp_path, mesh_devices=1)
+    tr2 = make_trainer(tmp_path / "b", mesh_devices=8)  # same init seed
+    ds = tr.train_data
+    items = [ds[i] for i in range(5)]
+    batch5 = {k: np.stack([it[k] for it in items]) for k in items[0]}
+    b5, _ = tr._pad(batch5)
+    b8, n = tr2._pad(batch5)
+    assert n == 5 and len(b8["img"]) == 8
+    assert b8["w"].tolist() == [1, 1, 1, 1, 1, 0, 0, 0]
+    # eval-mode BN uses running stats -> padded eval loss is EXACT
+    me5 = tr.state and tr._eval_step(tr.state.params,
+                                     tr.state.batch_stats, tr._put(b5))
+    me8 = tr2._eval_step(tr2.state.params, tr2.state.batch_stats,
+                         tr2._put(b8))
+    np.testing.assert_allclose(float(me5["loss"]), float(me8["loss"]),
+                               rtol=1e-5)  # f32 reduction-order noise
+    # train step: smooth-L1 terms are exactly masked; the remaining
+    # difference is train-mode BatchNorm statistics seeing the duplicate
+    # rows (only the final partial batch per epoch; see PARITY.md)
+    _, m5 = tr._train_step(tr.state, tr._put(b5))
+    _, m8 = tr2._train_step(tr2.state, tr2._put(b8))
+    np.testing.assert_allclose(float(m5["loss"]), float(m8["loss"]),
+                               rtol=1e-2)
+    tr.close()
+    tr2.close()
+
+
+def test_step_lr_matches_torch_schedule():
+    """lr during 1-based epoch E = base * 0.1^((E-1)//step): epoch 30
+    still runs at full lr with the NYU step=30 recipe (the reference
+    steps the scheduler at the END of each epoch, train.py:160)."""
+    from awr_tpu.training.optim import step_lr
+
+    assert step_lr(1e-3, 1, 30) == 1e-3
+    assert step_lr(1e-3, 30, 30) == 1e-3
+    assert abs(step_lr(1e-3, 31, 30) - 1e-4) < 1e-12
+    assert abs(step_lr(1e-3, 61, 30) - 1e-5) < 1e-15
+
+
 def test_supervise_all_stacks_vs_reference_mode(tmp_path):
     """supervise_all_stacks=False reproduces the reference's effective
     loss (last stack only, train.py:116-121); True sums all stacks."""
