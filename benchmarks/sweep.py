@@ -11,7 +11,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# runnable as `python benchmarks/sweep.py` without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def run_one(net: str, batch: int, dtype_name: str, img: int = 128,
