@@ -108,6 +108,64 @@ class TestAgainstReferenceOracle:
             np.testing.assert_allclose(r[2:], o[2:])
 
 
+def border_scene(seed=0):
+    """Hand centered near the image corner: crop bounds go negative /
+    beyond the frame, exercising the slice-and-pad paths."""
+    g = np.random.RandomState(seed)
+    # NYU flip=-1: positive y projects toward small v
+    center = np.array([g.uniform(-260, -220), g.uniform(120, 190),
+                       g.uniform(650, 800)])
+    jt = center[None] + g.uniform(-50, 50, (14, 3))
+    jt[:, 2] = center[2] + g.uniform(-30, 30, 14)
+    img = render_hand_depth(center, jt, NYU_PARAS)
+    return img, jt, center
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference mount not present")
+def test_border_crop_matches_reference_oracle():
+    from tests.test_data import make_ref_loader  # self-import for clarity
+
+    ref = make_ref_loader()
+    ours = CameraCrop(NYU_PARAS, NYU_FLIP, 128)
+    for seed in (0, 1, 2):
+        img, jt, center = border_scene(seed)
+        center_uvd = xyz2uvd_np(center, NYU_PARAS, NYU_FLIP).astype(
+            np.float64)
+        assert center_uvd[0] < 150 and center_uvd[1] < 150  # near corner
+        cube = np.array([300.0, 300.0, 300.0])
+        ref_img, ref_M = ref.crop(img.copy(), center_uvd, cube,
+                                  np.array([128, 128]))
+        our_img, our_M = ours.crop(img.copy(), center_uvd, cube, 128)
+        np.testing.assert_allclose(our_M, ref_M, rtol=1e-5)
+        np.testing.assert_array_equal(our_img, ref_img)
+
+
+def test_border_crop_device_matches_host():
+    import jax.numpy as jnp
+    from awr_tpu.data.device import crop_normalize_batch
+
+    ours = CameraCrop(NYU_PARAS, NYU_FLIP, 128)
+    imgs, centers, cubes, host_imgs = [], [], [], []
+    for seed in (0, 1, 2):
+        img, jt, center = border_scene(seed)
+        center_uvd = xyz2uvd_np(center, NYU_PARAS, NYU_FLIP).astype(
+            np.float64)
+        cube = np.array([300.0, 300.0, 300.0])
+        crop, _ = ours.crop(img, center_uvd, cube, 128)
+        host_imgs.append(ours.normalize(crop.max(), crop, center_uvd[2],
+                                        cube[2]))
+        imgs.append(img)
+        centers.append(center_uvd)
+        cubes.append(cube)
+    dev_imgs, _ = crop_normalize_batch(
+        jnp.asarray(np.stack(imgs)),
+        jnp.asarray(np.stack(centers), jnp.float32),
+        jnp.asarray(np.stack(cubes), jnp.float32),
+        jnp.asarray(NYU_PARAS), 128)
+    np.testing.assert_allclose(np.asarray(dev_imgs),
+                               np.stack(host_imgs), atol=1e-6)
+
+
 class TestDevicePath:
     def test_crop_normalize_batch_matches_host(self):
         import jax.numpy as jnp
