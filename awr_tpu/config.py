@@ -17,8 +17,17 @@ JOINT = {"nyu": 14, "icvl": 16, "msra": 21, "hands17": 21}
 STEP = {"nyu": 30, "icvl": 10, "msra": 10, "hands17": 5}
 EPOCH = {"nyu": 40, "icvl": 40, "msra": 25, "hands17": 10}
 
-# NYU camera intrinsics (fx, fy, u0, v0) (reference nyu_loader.py:23).
+# Camera intrinsics (fx, fy, u0, v0) per dataset.
+# NYU: reference nyu_loader.py:23; ICVL/MSRA: the datasets' published
+# calibrations (reference configures these datasets but ships no loader).
 NYU_PARAS = (588.03, 587.07, 320.0, 240.0)
+DATASET_PARAS = {
+    "nyu": NYU_PARAS,
+    "icvl": (241.42, 241.42, 160.0, 120.0),
+    "msra": (241.42, 241.42, 160.0, 120.0),
+}
+# y-axis flip in xyz<->uvd transforms (nyu_loader.py:34)
+DATASET_FLIP = {"nyu": -1, "icvl": 1, "msra": 1}
 
 
 @dataclasses.dataclass
@@ -95,14 +104,15 @@ class Config:
 
     @property
     def paras(self) -> Tuple[float, float, float, float]:
-        if self.dataset == "nyu":
-            return NYU_PARAS
-        raise NotImplementedError(f"unknown dataset {self.dataset!r}")
+        try:
+            return DATASET_PARAS[self.dataset]
+        except KeyError:
+            raise NotImplementedError(
+                f"unknown dataset {self.dataset!r}") from None
 
     @property
     def flip(self) -> int:
-        # NYU flips the y axis in xyz<->uvd transforms (nyu_loader.py:34).
-        return -1 if self.dataset == "nyu" else 1
+        return DATASET_FLIP.get(self.dataset, 1)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
