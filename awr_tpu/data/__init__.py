@@ -11,6 +11,7 @@ Synthetic data for tests/benchmarks where the real NYU files are absent:
 :mod:`awr_tpu.data.synthetic`.
 """
 
+from awr_tpu.data.hands17 import Hands17Dataset  # noqa: F401
 from awr_tpu.data.icvl import ICVLDataset  # noqa: F401
 from awr_tpu.data.msra import MSRADataset  # noqa: F401
 from awr_tpu.data.nyu import NYUDataset  # noqa: F401

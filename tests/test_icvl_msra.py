@@ -125,6 +125,42 @@ def test_msra_items(msra_root):
     assert np.abs(item["jt_uvd"]).max() < 1.5
 
 
+def write_fake_hands17(root, n=3, seed=0):
+    from awr_tpu.data.hands17 import HANDS17_PARAS
+
+    g = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    lines = []
+    for i in range(n):
+        center = np.array([g.uniform(-60, 60), g.uniform(-40, 40),
+                           g.uniform(450, 600)])
+        jt = center[None] + g.uniform(-45, 45, (21, 3))
+        jt[:, 2] = center[2] + g.uniform(-30, 30, 21)
+        depth = render_hand_depth(center, jt, HANDS17_PARAS,
+                                  shape=(480, 640))
+        name = f"image_D{i:08d}.png"
+        cv2.imwrite(os.path.join(root, "images", name),
+                    depth.astype(np.uint16))
+        lines.append(name + "\t" + "\t".join(
+            f"{v:.6f}" for v in jt.reshape(-1)))
+    with open(os.path.join(root, "Training_Annotation.txt"), "w") as fh:
+        fh.write("\n".join(lines))
+    return root
+
+
+def test_hands17_items(tmp_path_factory):
+    from awr_tpu.data.hands17 import Hands17Dataset
+
+    root = write_fake_hands17(str(tmp_path_factory.mktemp("hands17")))
+    ds = Hands17Dataset(root, "train")
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["img"].shape == (128, 128)
+    assert item["jt_uvd"].shape == (21, 3)
+    assert (item["img"] < 0.99).mean() > 0.01
+    assert np.isfinite(item["jt_uvd"]).all()
+
+
 def test_msra_trainer_eval(msra_root, tmp_path):
     from awr_tpu.config import Config
     from awr_tpu.training.trainer import Trainer
