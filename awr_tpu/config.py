@@ -27,7 +27,15 @@ DATASET_PARAS = {
     "msra": (241.42, 241.42, 160.0, 120.0),
 }
 # y-axis flip in xyz<->uvd transforms (nyu_loader.py:34)
-DATASET_FLIP = {"nyu": -1, "icvl": 1, "msra": 1}
+DATASET_FLIP = {"nyu": -1, "icvl": 1, "msra": 1, "hands17": 1}
+# crop cube defaults (mm): NYU per reference config.py:30; others per the
+# AWR-family conventions for those datasets
+DATASET_CUBE = {
+    "nyu": (300.0, 300.0, 300.0),
+    "icvl": (250.0, 250.0, 250.0),
+    "msra": (200.0, 200.0, 200.0),
+    "hands17": (300.0, 300.0, 300.0),
+}
 
 
 @dataclasses.dataclass

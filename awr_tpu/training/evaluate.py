@@ -17,6 +17,12 @@ def build_config(args) -> Config:
         cfg = resnet_config(int(args.net.split("_")[1]))
     else:
         cfg = hourglass_config(int(args.net.split("_")[1]))
+    ds = getattr(args, "dataset", "nyu")
+    if ds != "nyu":
+        from awr_tpu.config import DATASET_CUBE, EPOCH, JOINT, STEP
+
+        cfg = cfg.replace(dataset=ds, jt_num=JOINT[ds], step=STEP[ds],
+                          max_epoch=EPOCH[ds], cube=DATASET_CUBE[ds])
     over = dict(
         batch_size=args.batch_size,
         img_size=args.img_size,
@@ -34,6 +40,8 @@ def build_config(args) -> Config:
 def add_common_args(ap: argparse.ArgumentParser):
     ap.add_argument("--net", default="resnet_18",
                     help="resnet_{18,50,101,152} | hourglass_<nstack>")
+    ap.add_argument("--dataset", default="nyu",
+                    choices=["nyu", "icvl", "msra", "hands17"])
     ap.add_argument("--data-dir", default="./data/nyu")
     ap.add_argument("--output-dir", default="./output")
     ap.add_argument("--load-model", default="",
@@ -72,12 +80,15 @@ def make_datasets(args, cfg: Config, train: bool = False):
                                    mode=mode)
               if train else None)
         return tr, test
-    from awr_tpu.data.nyu import NYUDataset
 
-    test = NYUDataset(args.data_dir, "test", img_size=cfg.img_size,
-                      cube=cfg.cube, mode=mode)
-    tr = (NYUDataset(args.data_dir, "train", img_size=cfg.img_size,
-                     aug_para=cfg.augment_para, cube=cfg.cube, mode=mode)
+    from awr_tpu.data import (Hands17Dataset, ICVLDataset, MSRADataset,
+                              NYUDataset)
+
+    cls = {"nyu": NYUDataset, "icvl": ICVLDataset, "msra": MSRADataset,
+           "hands17": Hands17Dataset}[getattr(args, "dataset", "nyu")]
+    kw = dict(img_size=cfg.img_size, cube=cfg.cube, mode=mode)
+    test = cls(args.data_dir, "test", **kw)
+    tr = (cls(args.data_dir, "train", aug_para=cfg.augment_para, **kw)
           if train else None)
     return tr, test
 
