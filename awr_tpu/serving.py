@@ -1,0 +1,120 @@
+"""Batch inference API: raw depth frames -> camera-coordinate joints.
+
+The reference has no serving surface — users replicate test.py's loop
+(crop -> forward -> decode -> de-normalize, test.py:61-108) by hand.
+``Predictor`` packages that path as one call: fused device preprocessing
+(awr_tpu.data.device), jitted forward + Pallas decode, and the
+de-normalization the Evaluator applies (evaluation.py), returning (u px,
+v px, d mm) in original camera coordinates — the same convention as the
+reference's results/*.txt dumps.
+
+Weights load from an Orbax checkpoint directory, a reference ``.pth``,
+or in-memory flax variables.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from awr_tpu.config import Config
+from awr_tpu.geometry import uvd2xyz_np, xyz2uvd_np
+from awr_tpu.models import build_model
+from awr_tpu.training.steps import make_infer_step
+
+DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+class Predictor:
+    def __init__(self, config: Config, variables: dict,
+                 paras=None, flip: Optional[int] = None):
+        self.cfg = config
+        self.paras = paras if paras is not None else config.paras
+        self.flip = flip if flip is not None else config.flip
+        self.model = build_model(config.net, config.jt_num,
+                                 config.downsample,
+                                 dtype=DTYPES[config.compute_dtype])
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+        self._infer = jax.jit(make_infer_step(self.model, config))
+
+    # ------------------------------------------------------ constructors
+    @classmethod
+    def from_checkpoint(cls, config: Config, ckpt_dir: str, **kw):
+        """Load from an awr_tpu Orbax checkpoint directory."""
+        import tempfile
+
+        from awr_tpu.training.trainer import Trainer
+
+        tr = Trainer(config.replace(load_model=ckpt_dir),
+                     workdir=tempfile.mkdtemp(prefix="awr_predict_"))
+        variables = {"params": tr.state.params,
+                     "batch_stats": tr.state.batch_stats}
+        tr.close()
+        return cls(config, variables, **kw)
+
+    @classmethod
+    def from_torch(cls, config: Config, pth_path: str, **kw):
+        """Load reference-trained weights from a torch .pth."""
+        from awr_tpu.models.torch_import import import_reference_weights
+
+        variables = import_reference_weights(config.net, pth_path,
+                                             downsample=config.downsample)
+        return cls(config, variables, **kw)
+
+    # --------------------------------------------------------- inference
+    def predict_normalized(self, img_norm) -> np.ndarray:
+        """(B, S, S) normalized depth -> (B, J, 3) normalized uvd."""
+        return np.asarray(
+            self._infer(self.params, self.batch_stats,
+                        jnp.asarray(img_norm, jnp.float32)))
+
+    def predict(self, imgs, centers_xyz, cubes=None) -> np.ndarray:
+        """Raw frames -> camera-coordinate joints.
+
+        Args:
+          imgs: (B, H0, W0) raw mm depth frames.
+          centers_xyz: (B, 3) hand centers, camera xyz mm (the refined
+            centers the reference consumes, nyu_loader.py:47).
+          cubes: (B, 3) crop cubes mm (defaults to config.cube).
+        Returns:
+          (B, J, 3) joints as (u px, v px, d mm) in the original camera
+          frame — the reference dump format (test.py:105-108).
+        """
+        from awr_tpu.data.device import crop_normalize_batch
+
+        imgs = np.asarray(imgs, np.float32)
+        centers_xyz = np.asarray(centers_xyz, np.float64)
+        B = len(imgs)
+        if cubes is None:
+            cubes = np.tile(np.asarray(self.cfg.cube, np.float64), (B, 1))
+        centers_uvd = xyz2uvd_np(centers_xyz, self.paras, self.flip)
+        img_n, M = crop_normalize_batch(
+            imgs, centers_uvd, cubes, np.asarray(self.paras),
+            self.cfg.img_size)
+        pred = self.predict_normalized(img_n)
+        return self.denormalize(pred, centers_xyz, np.asarray(M), cubes)
+
+    def denormalize(self, pred, centers_xyz, M, cubes) -> np.ndarray:
+        """Normalized (B, J, 3) uvd -> camera coords (evaluation.py:38-43
+        math)."""
+        out = np.array(pred, np.float32, copy=True)
+        cubes = np.asarray(cubes, np.float32)
+        centers_xyz = np.asarray(centers_xyz, np.float32)
+        out[..., :2] = (out[..., :2] + 1) * self.cfg.img_size / 2.0
+        out[..., 2] = (out[..., 2] * cubes[:, None, 2] / 2.0
+                       + centers_xyz[:, None, 2])
+        M_inv = np.linalg.inv(np.asarray(M, np.float64)).astype(np.float32)
+        uv1 = np.concatenate(
+            [out[..., :2], np.ones_like(out[..., :1])], -1)
+        uv = np.einsum("bij,bkj->bki", M_inv, uv1)
+        out[..., :2] = uv[..., :2]
+        return out
+
+    def predict_xyz(self, imgs, centers_xyz, cubes=None) -> np.ndarray:
+        """Raw frames -> camera xyz mm joints."""
+        uvd = self.predict(imgs, centers_xyz, cubes)
+        return uvd2xyz_np(uvd, self.paras, self.flip)

@@ -1,0 +1,83 @@
+"""Predictor API: raw frames in, camera-coordinate joints out, matching
+the Trainer's eval-path numbers exactly."""
+
+import numpy as np
+
+from awr_tpu.config import Config
+from awr_tpu.data.synthetic import SyntheticHandDataset
+from awr_tpu.serving import Predictor
+
+
+def _cfg():
+    return Config(net="resnet_18", kernel_size=1.0, img_size=128,
+                  batch_size=4, vis_freq=0, use_pallas=False,
+                  print_freq=1000)
+
+
+def test_predict_matches_eval_path(tmp_path):
+    """Predictor.predict on raw frames == the Evaluator's de-normalized
+    accumulation from the Trainer test loop (same weights, same frames)."""
+    from awr_tpu.evaluation import Evaluator
+    from awr_tpu.training.trainer import Trainer
+
+    cfg = _cfg()
+    ds = SyntheticHandDataset(4, cfg.jt_num, 128, phase="test", seed=3)
+    tr = Trainer(cfg, test_data=ds, workdir=str(tmp_path / "w"))
+    tr.test(epoch=1)
+    # rebuild evaluator state to capture predictions_uvd
+    ev = Evaluator(128, ds.paras, ds.flip, cfg.jt_num)
+    batch = next(ds.batches(4))
+    m = tr._eval_step(tr.state.params, tr.state.batch_stats,
+                      tr._put(tr._pad(batch)[0]))
+    ev.feed_batch(np.asarray(m["jt_uvd_pred"])[:4], batch["jt_xyz"],
+                  batch["center_xyz"], batch["M"], batch["cube"])
+    expected = ev.predictions_uvd
+
+    pred = Predictor(cfg, {"params": tr.state.params,
+                           "batch_stats": tr.state.batch_stats})
+    raws = [ds.raw_item(i) for i in range(4)]
+    got = pred.predict(np.stack([r[0] for r in raws]),
+                       np.stack([r[2] for r in raws]))
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-3)
+    tr.close()
+
+
+def test_predict_xyz_consistency(tmp_path):
+    import jax
+
+    cfg = _cfg()
+    ds = SyntheticHandDataset(2, cfg.jt_num, 128, phase="test", seed=5)
+    from awr_tpu.models import build_model
+
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    import jax.numpy as jnp
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 1)), train=True)
+    pred = Predictor(cfg, dict(variables))
+    raws = [ds.raw_item(i) for i in range(2)]
+    imgs = np.stack([r[0] for r in raws])
+    centers = np.stack([r[2] for r in raws])
+    uvd = pred.predict(imgs, centers)
+    xyz = pred.predict_xyz(imgs, centers)
+    from awr_tpu.geometry import xyz2uvd_np
+
+    np.testing.assert_allclose(xyz2uvd_np(xyz, pred.paras, pred.flip),
+                               uvd, rtol=1e-4, atol=1e-3)
+    assert uvd.shape == (2, 14, 3)
+
+
+def test_from_checkpoint_roundtrip(tmp_path):
+    from awr_tpu.training.trainer import Trainer
+
+    cfg = _cfg()
+    ds = SyntheticHandDataset(4, cfg.jt_num, 128, phase="test", seed=3)
+    tr = Trainer(cfg, test_data=ds, workdir=str(tmp_path / "w"))
+    tr.save(1)
+    tr.close()
+    pred = Predictor.from_checkpoint(
+        cfg, str(tmp_path / "w" / "ckpt"))
+    raws = [ds.raw_item(i) for i in range(2)]
+    out = pred.predict(np.stack([r[0] for r in raws]),
+                       np.stack([r[2] for r in raws]))
+    assert np.isfinite(out).all()
