@@ -16,6 +16,39 @@ from awr_tpu.data.transforms import normalize_labels
 from awr_tpu.geometry import transform_uv, uvd2xyz_np, xyz2uvd_np
 
 
+def _load_centers_or_centroids(root, phase, labels_xyz,
+                               allow_centroid_centers: bool,
+                               dataset_name: str) -> np.ndarray:
+    """Refined-center file lookup with an EXPLICIT centroid fallback.
+
+    The AWR family trains on refined hand centers produced by a separate
+    2D CNN (reference README.md:31, nyu_loader.py:81,87).  Joint
+    centroids are a *different crop distribution* and silently change
+    results on real data, so substituting them requires
+    ``allow_centroid_centers=True`` and still warns loudly (PARITY.md
+    "Centroid-center fallback").
+    """
+    import os as _os
+    import warnings
+
+    cpath = _os.path.join(root, f"center_{phase}_refined.txt")
+    if _os.path.exists(cpath):
+        return np.loadtxt(cpath, ndmin=2)
+    if not allow_centroid_centers:
+        raise FileNotFoundError(
+            f"{dataset_name} refined hand centers not found at {cpath}. "
+            f"The AWR pipeline crops around refined centers; training on "
+            f"joint centroids changes the crop distribution and the "
+            f"results.  Pass allow_centroid_centers=True to explicitly "
+            f"accept centroid crops.")
+    warnings.warn(
+        f"{dataset_name}: no refined centers at {cpath}; using joint "
+        f"CENTROIDS as crop centers (allow_centroid_centers=True).  "
+        f"Results are NOT comparable to refined-center runs.",
+        stacklevel=3)
+    return labels_xyz.mean(axis=1)
+
+
 class DepthDataset:
     def process(self, img, jt_xyz, center_xyz, cube):
         """Reference item pipeline (nyu_loader.py:38-66), host numpy/cv2."""

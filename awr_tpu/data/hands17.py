@@ -10,7 +10,9 @@ challenge's published layout:
       Training_Annotation.txt            "<name>\tx1 y1 z1 ... x21 y21 z21"
                                          camera xyz mm (tab- or
                                          space-separated)
-      center_train_refined.txt (optional; joint centroid otherwise)
+      center_train_refined.txt (joint-centroid fallback requires an
+                                explicit allow_centroid_centers=True;
+                                see PARITY.md)
 
 Intrinsics: fx = fy = 475.065948, cx = 315.944855, cy = 245.287079
 (the challenge's published calibration); no y flip.
@@ -23,7 +25,7 @@ import os
 import cv2
 import numpy as np
 
-from awr_tpu.data.base import DepthDataset
+from awr_tpu.data.base import DepthDataset, _load_centers_or_centroids
 from awr_tpu.data.transforms import CameraCrop
 
 HANDS17_PARAS = (475.065948, 475.065857, 315.944855, 245.287079)
@@ -43,9 +45,11 @@ class Hands17Dataset(DepthDataset):
                  aug_para=(10.0, 0.1, 180.0),
                  cube=(300.0, 300.0, 300.0),
                  jt_num: int = HANDS17_JOINTS, mode: str = "host",
-                 seed: int = 23455):
+                 seed: int = 23455,
+                 allow_centroid_centers: bool = False):
         assert phase in ("train", "test")
         self.root = root
+        self.allow_centroid_centers = allow_centroid_centers
         self.phase = phase
         self.val = val
         self.img_size = img_size
@@ -77,12 +81,9 @@ class Hands17Dataset(DepthDataset):
         self.image_paths = paths
         self.labels_xyz = (np.stack(labels) if labels
                            else np.zeros((0, self.jt_num, 3)))
-        cpath = os.path.join(self.root,
-                             f"center_{self.phase}_refined.txt")
-        if os.path.exists(cpath):
-            self.centers = np.loadtxt(cpath, ndmin=2)
-        else:
-            self.centers = self.labels_xyz.mean(axis=1)
+        self.centers = _load_centers_or_centroids(
+            self.root, self.phase, self.labels_xyz,
+            self.allow_centroid_centers, "HANDS17")
 
     def __len__(self):
         return len(self.image_paths)
@@ -96,7 +97,8 @@ class Hands17Dataset(DepthDataset):
         center_xyz = self.centers[index].astype(np.float64).copy()
         cube = self.cube_for(index)
         if self.mode == "raw":
+            # f64 center/cube preserve the int(x+0.5) crop truncations
+            # computed host-side (see nyu.py raw mode)
             return dict(img=img, jt_xyz=jt_xyz.astype(np.float32),
-                        center_xyz=center_xyz.astype(np.float32),
-                        cube=cube.astype(np.float32))
+                        center_xyz=center_xyz, cube=cube)
         return self.process(img, jt_xyz, center_xyz, cube)

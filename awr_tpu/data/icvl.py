@@ -97,7 +97,8 @@ class ICVLDataset(DepthDataset):
         center_xyz = self.centers[index].astype(np.float64).copy()
         cube = self.cube_for(index)
         if self.mode == "raw":
+            # f64 center/cube preserve the int(x+0.5) crop truncations
+            # computed host-side (see nyu.py raw mode)
             return dict(img=img, jt_xyz=jt_xyz.astype(np.float32),
-                        center_xyz=center_xyz.astype(np.float32),
-                        cube=cube.astype(np.float32))
+                        center_xyz=center_xyz, cube=cube)
         return self.process(img, jt_xyz, center_xyz, cube)

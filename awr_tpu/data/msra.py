@@ -16,9 +16,10 @@ dataset's standard public layout:
                              background)
 
 Intrinsics: fx = fy = 241.42, cx = 160, cy = 120 (320x240); no y flip.
-Centers: optional center_train/test files; if absent, the joint
-centroid is used (common practice when refined centers are not
-shipped).
+Centers: center_{train,test}_refined.txt files; if absent, joint
+centroids are substituted ONLY with an explicit
+``allow_centroid_centers=True`` (a different crop distribution — see
+PARITY.md).
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ from glob import glob
 
 import numpy as np
 
-from awr_tpu.data.base import DepthDataset
+from awr_tpu.data.base import DepthDataset, _load_centers_or_centroids
 from awr_tpu.data.transforms import CameraCrop
 
 MSRA_PARAS = (241.42, 241.42, 160.0, 120.0)
@@ -57,9 +58,11 @@ class MSRADataset(DepthDataset):
                  val: bool = False, img_size: int = 128,
                  aug_para=(10.0, 0.1, 180.0),
                  cube=(200.0, 200.0, 200.0), jt_num: int = MSRA_JOINTS,
-                 mode: str = "host", seed: int = 23455):
+                 mode: str = "host", seed: int = 23455,
+                 allow_centroid_centers: bool = False):
         assert phase in ("train", "test")
         self.root = root
+        self.allow_centroid_centers = allow_centroid_centers
         self.phase = phase
         self.test_subject = test_subject
         self.val = val
@@ -105,13 +108,9 @@ class MSRADataset(DepthDataset):
         self.image_paths = paths
         self.labels_xyz = (np.stack(labels) if labels
                            else np.zeros((0, self.jt_num, 3)))
-        # refined centers if shipped; else joint centroids
-        cpath = os.path.join(self.root,
-                             f"center_{self.phase}_refined.txt")
-        if os.path.exists(cpath):
-            self.centers = np.loadtxt(cpath, ndmin=2)
-        else:
-            self.centers = self.labels_xyz.mean(axis=1)
+        self.centers = _load_centers_or_centroids(
+            self.root, self.phase, self.labels_xyz,
+            self.allow_centroid_centers, "MSRA")
 
     def __len__(self):
         return len(self.image_paths)
@@ -125,7 +124,8 @@ class MSRADataset(DepthDataset):
         center_xyz = self.centers[index].astype(np.float64).copy()
         cube = self.cube_for(index)
         if self.mode == "raw":
+            # f64 center/cube preserve the int(x+0.5) crop truncations
+            # computed host-side (see nyu.py raw mode)
             return dict(img=img, jt_xyz=jt_xyz.astype(np.float32),
-                        center_xyz=center_xyz.astype(np.float32),
-                        cube=cube.astype(np.float32))
+                        center_xyz=center_xyz, cube=cube)
         return self.process(img, jt_xyz, center_xyz, cube)

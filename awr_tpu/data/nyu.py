@@ -126,10 +126,14 @@ class NYUDataset(DepthDataset):
         center_xyz = self.centers[index].astype(np.float64).copy()
         cube = self.cube_for(index)
         if self.mode == "raw":
+            # center/cube stay float64: the fused device path computes
+            # crop params HOST-side in f64 (trainer._raw_inputs) and the
+            # reference's int(x+0.5) truncations can flip under f32
+            # quantization on boundary samples (ADVICE r1).
             return dict(
                 img=img,
                 jt_xyz=jt_xyz.astype(np.float32),
-                center_xyz=center_xyz.astype(np.float32),
-                cube=cube.astype(np.float32),
+                center_xyz=center_xyz,
+                cube=cube,
             )
         return self.process(img, jt_xyz, center_xyz, cube)

@@ -114,7 +114,9 @@ class SyntheticHandDataset(DepthDataset):
         img, jt_xyz, center_xyz = self.raw_item(index)
         cube = self.cube_for(index)
         if self.mode == "raw":
+            # f64 center/cube preserve the int(x+0.5) crop truncations
+            # computed host-side (see nyu.py raw mode)
             return dict(img=img, jt_xyz=jt_xyz.astype(np.float32),
-                        center_xyz=center_xyz.astype(np.float32),
-                        cube=cube.astype(np.float32))
+                        center_xyz=np.asarray(center_xyz, np.float64),
+                        cube=cube)
         return self.process(img, jt_xyz, center_xyz, cube)

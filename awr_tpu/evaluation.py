@@ -47,12 +47,20 @@ class Evaluator:
         pred[..., :2] = (pred[..., :2] + 1) * self.img_size / 2.0
         pred[..., 2] = (pred[..., 2] * cube[:, None, 2] / 2.0
                         + center[:, None, 2])
-        try:
-            M_inv = np.linalg.inv(M.astype(np.float64)).astype(np.float32)
-        except np.linalg.LinAlgError:
-            # degenerate transmat (reference eval_tool.py:33-36 prints and
-            # proceeds); use pseudo-inverse so the batch still scores
-            M_inv = np.linalg.pinv(M.astype(np.float64)).astype(np.float32)
+        # Degenerate transmats fall back to pinv PER SAMPLE (the
+        # reference's try/except is per-sample, eval_tool.py:33-36); valid
+        # samples in the same batch keep their exact inverse.
+        M64 = M.astype(np.float64)
+        dets = np.linalg.det(M64)
+        singular = (dets == 0.0) | ~np.isfinite(dets)
+        M_inv = np.empty_like(M64)
+        if singular.any():
+            print(f"singular transmat in batch: {int(singular.sum())} "
+                  f"sample(s) scored via pinv")
+            M_inv[singular] = np.linalg.pinv(M64[singular])
+        if (~singular).any():
+            M_inv[~singular] = np.linalg.inv(M64[~singular])
+        M_inv = M_inv.astype(np.float32)
         ones = np.ones_like(pred[..., :1])
         uv1 = np.concatenate([pred[..., :2], ones], axis=-1)
         uv = np.einsum("bij,bkj->bki", M_inv, uv1)

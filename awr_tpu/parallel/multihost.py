@@ -24,6 +24,8 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     On TPU pods the arguments are auto-detected from the environment, so
     callers normally pass nothing.
     """
+    if jax.distributed.is_initialized():
+        return  # idempotent: a second initialize would raise
     if num_processes is not None and num_processes <= 1:
         return
     if coordinator_address is None and jax.process_count() <= 1:

@@ -43,17 +43,23 @@ class Predictor:
 
     # ------------------------------------------------------ constructors
     @classmethod
-    def from_checkpoint(cls, config: Config, ckpt_dir: str, **kw):
-        """Load from an awr_tpu Orbax checkpoint directory."""
-        import tempfile
+    def from_checkpoint(cls, config: Config, ckpt_dir: str,
+                        epoch: Optional[int] = None, **kw):
+        """Load from an awr_tpu Orbax checkpoint directory.
 
-        from awr_tpu.training.trainer import Trainer
+        Restores weights directly through
+        :class:`~awr_tpu.training.checkpoints.CheckpointManager` — no
+        optimizer, log file, or workdir is created on the serving path.
+        """
+        from awr_tpu.training.checkpoints import CheckpointManager
 
-        tr = Trainer(config.replace(load_model=ckpt_dir),
-                     workdir=tempfile.mkdtemp(prefix="awr_predict_"))
-        variables = {"params": tr.state.params,
-                     "batch_stats": tr.state.batch_stats}
-        tr.close()
+        mgr = CheckpointManager(ckpt_dir)
+        try:
+            restored = mgr.restore(epoch)
+        finally:
+            mgr.close()
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
         return cls(config, variables, **kw)
 
     @classmethod

@@ -65,6 +65,10 @@ def add_common_args(ap: argparse.ArgumentParser):
     ap.add_argument("--profile-dir", default="",
                     help="write a jax.profiler trace here (Perfetto/"
                          "TensorBoard-loadable)")
+    ap.add_argument("--allow-centroid-centers", action="store_true",
+                    help="msra/hands17: accept joint-centroid crop "
+                         "centers when refined center files are absent "
+                         "(a DIFFERENT crop distribution; PARITY.md)")
 
 
 def make_datasets(args, cfg: Config, train: bool = False):
@@ -87,6 +91,9 @@ def make_datasets(args, cfg: Config, train: bool = False):
     cls = {"nyu": NYUDataset, "icvl": ICVLDataset, "msra": MSRADataset,
            "hands17": Hands17Dataset}[getattr(args, "dataset", "nyu")]
     kw = dict(img_size=cfg.img_size, cube=cfg.cube, mode=mode)
+    if cls in (MSRADataset, Hands17Dataset):
+        kw["allow_centroid_centers"] = getattr(
+            args, "allow_centroid_centers", False)
     test = cls(args.data_dir, "test", **kw)
     tr = (cls(args.data_dir, "train", aug_para=cfg.augment_para, **kw)
           if train else None)

@@ -97,8 +97,13 @@ def make_train_step(model, optimizer, cfg):
 
 def make_eval_step(model, cfg):
     """Returns ``eval_step(params, batch_stats, batch) -> metrics`` with
-    decoded joints + the same losses the reference reports in eval
-    (test.py:70-88)."""
+    decoded joints + the same losses the reference reports in eval.
+
+    Reference parity: the eval loop SUMS the per-stack coord+offset
+    losses over every hourglass stack (test.py:74-87, one forward per
+    stack there — one shared forward here, same math) while the metrics
+    use the LAST stack's decoded joints (the loop leaves
+    ``jt_uvd_pred`` bound to the final stage)."""
     kernel = cfg.kernel_size
     feat = cfg.feature_size
     dense_w = cfg.dense_weight
@@ -114,12 +119,16 @@ def make_eval_step(model, cfg):
         preds = _stacked(out)
         offset_gt = encode_offsets(batch["jt_uvd"], img, kernel, feat,
                                    use_pallas=cfg.use_pallas)
-        jt_pred = decode_offsets(preds[-1], img, kernel,
-                                 use_pallas=cfg.use_pallas)
-        loss_coord = coord_w * smooth_l1_loss(jt_pred, batch["jt_uvd"],
-                                              sample_weight=w)
-        loss_offset = dense_w * smooth_l1_loss(preds[-1], offset_gt,
-                                               sample_weight=w)
+        loss_offset = 0.0
+        loss_coord = 0.0
+        jt_pred = None
+        for s in range(preds.shape[0]):
+            jt_pred = decode_offsets(preds[s], img, kernel,
+                                     use_pallas=cfg.use_pallas)
+            loss_coord += coord_w * smooth_l1_loss(
+                jt_pred, batch["jt_uvd"], sample_weight=w)
+            loss_offset += dense_w * smooth_l1_loss(
+                preds[s], offset_gt, sample_weight=w)
         return dict(jt_uvd_pred=jt_pred, loss=loss_coord + loss_offset,
                     loss_offset=loss_offset, loss_coord=loss_coord)
 

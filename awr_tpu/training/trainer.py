@@ -117,7 +117,11 @@ class Trainer:
             self._raw_eval_step = jax.jit(
                 make_raw_eval_step(self.model, config, ds.paras, ds.flip))
 
-        self.best_records = {"epoch": 0, "MPE": 1e10, "AUC": 0.0}
+        # 'epoch' is the resume cursor (last completed epoch, reference
+        # train.py:105); 'best_epoch' is the epoch that achieved the best
+        # MPE/AUC and survives non-improving later epochs.
+        self.best_records = {"epoch": 0, "best_epoch": 0, "MPE": 1e10,
+                             "AUC": 0.0}
         self.plateau = (PlateauScheduler(config.lr)
                         if config.scheduler == "auto" else None)
         self.ckpt = CheckpointManager(os.path.join(self.work_dir, "ckpt"))
@@ -265,8 +269,9 @@ class Trainer:
 
             mpe, auc = self.test(epoch)
             if mpe < self.best_records["MPE"]:
-                self.best_records.update(epoch=epoch, MPE=mpe, AUC=auc)
-            self.best_records["epoch"] = epoch
+                self.best_records.update(best_epoch=epoch, MPE=mpe,
+                                         AUC=auc)
+            self.best_records["epoch"] = epoch  # resume cursor
             self.save(epoch)
 
     # ------------------------------------------------------------- eval
@@ -353,7 +358,14 @@ class Trainer:
             lr=0.0,
             plateau=[0.0, 0.0, 0.0],
         )
-        restored = mgr.restore(epoch, template=template)
+        try:
+            restored = mgr.restore(epoch, template=template)
+        except Exception:
+            # legacy checkpoint without 'best_epoch' in best_records
+            legacy = dict(template, best_records={
+                k: v for k, v in self.best_records.items()
+                if k != "best_epoch"})
+            restored = mgr.restore(epoch, template=legacy)
         self.state = TrainState(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
@@ -364,6 +376,8 @@ class Trainer:
         self.best_records = jax.tree_util.tree_map(
             lambda x: x.item() if hasattr(x, "item") else x,
             restored["best_records"])
+        self.best_records.setdefault("best_epoch",
+                                     self.best_records["epoch"])
         if self.plateau is not None and "plateau" in restored:
             lr, best, bad = [float(x) for x in restored["plateau"]]
             if lr > 0:

@@ -135,3 +135,24 @@ def test_vis_renders(tmp_path):
     p = tmp_path / "pose.png"
     plot_pose(img, str(p), jt)
     assert p.exists() and p.stat().st_size > 0
+
+
+def test_singular_transmat_per_sample_fallback():
+    """One singular M in a batch must not perturb the other samples'
+    distances (reference degrades per-sample, eval_tool.py:33-36;
+    PARITY.md deviation 10)."""
+    pred, gt, center, M, cube = synth_eval_inputs(B=6)
+
+    ev_clean = Evaluator(128, NYU_PARAS, -1, 14)
+    ev_clean.feed_batch(pred, gt, center, M, cube)
+    clean = ev_clean.distances
+
+    M_bad = M.copy()
+    M_bad[2] = 0.0  # singular transmat for sample 2 only
+    ev = Evaluator(128, NYU_PARAS, -1, 14)
+    ev.feed_batch(pred, gt, center, M_bad, cube)
+    mixed = ev.distances
+
+    keep = np.array([0, 1, 3, 4, 5])
+    np.testing.assert_array_equal(mixed[keep], clean[keep])
+    assert np.isfinite(mixed[2]).all()  # pinv'd, still scores

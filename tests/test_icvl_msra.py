@@ -108,8 +108,8 @@ def test_msra_bin_roundtrip(msra_root):
 
 
 def test_msra_leave_one_out_split(msra_root):
-    test = MSRADataset(msra_root, "test", test_subject=0)
-    train = MSRADataset(msra_root, "train", test_subject=0)
+    test = MSRADataset(msra_root, "test", test_subject=0, allow_centroid_centers=True)
+    train = MSRADataset(msra_root, "train", test_subject=0, allow_centroid_centers=True)
     assert len(test) == 4  # P0: 2 gestures x 2 frames
     assert len(train) == 4  # P1
     assert all("P0" in p for p in test.image_paths)
@@ -117,7 +117,7 @@ def test_msra_leave_one_out_split(msra_root):
 
 
 def test_msra_items(msra_root):
-    ds = MSRADataset(msra_root, "test", test_subject=0, img_size=128)
+    ds = MSRADataset(msra_root, "test", test_subject=0, img_size=128, allow_centroid_centers=True)
     item = ds[0]
     assert item["img"].shape == (128, 128)
     assert item["jt_uvd"].shape == (21, 3)
@@ -152,13 +152,31 @@ def test_hands17_items(tmp_path_factory):
     from awr_tpu.data.hands17 import Hands17Dataset
 
     root = write_fake_hands17(str(tmp_path_factory.mktemp("hands17")))
-    ds = Hands17Dataset(root, "train")
+    ds = Hands17Dataset(root, "train", allow_centroid_centers=True)
     assert len(ds) == 3
     item = ds[0]
     assert item["img"].shape == (128, 128)
     assert item["jt_uvd"].shape == (21, 3)
     assert (item["img"] < 0.99).mean() > 0.01
     assert np.isfinite(item["jt_uvd"]).all()
+
+
+def test_centroid_fallback_requires_flag(msra_root, tmp_path_factory):
+    """Missing refined centers must be loud: error without the flag,
+    warning with it (PARITY.md deviation 9)."""
+    from awr_tpu.data.hands17 import Hands17Dataset
+
+    with pytest.raises(FileNotFoundError, match="refined hand centers"):
+        MSRADataset(msra_root, "test", test_subject=0)
+    with pytest.warns(UserWarning, match="CENTROID"):
+        ds = MSRADataset(msra_root, "test", test_subject=0,
+                         allow_centroid_centers=True)
+    np.testing.assert_allclose(ds.centers, ds.labels_xyz.mean(axis=1))
+
+    h_root = write_fake_hands17(
+        str(tmp_path_factory.mktemp("hands17_flag")))
+    with pytest.raises(FileNotFoundError, match="refined hand centers"):
+        Hands17Dataset(h_root, "train")
 
 
 def test_msra_trainer_eval(msra_root, tmp_path):
@@ -169,7 +187,7 @@ def test_msra_trainer_eval(msra_root, tmp_path):
                  batch_size=4, vis_freq=0, use_pallas=False,
                  print_freq=1000, jt_num=21, dataset="msra",
                  cube=(200.0, 200.0, 200.0))
-    ds = MSRADataset(msra_root, "test", test_subject=0, img_size=64)
+    ds = MSRADataset(msra_root, "test", test_subject=0, img_size=64, allow_centroid_centers=True)
     tr = Trainer(cfg, test_data=ds, workdir=str(tmp_path / "w"))
     mpe, auc = tr.test(epoch=1)
     assert np.isfinite(mpe)

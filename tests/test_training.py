@@ -63,13 +63,16 @@ def test_checkpoint_roundtrip(tmp_path):
     batch, _ = tr._pad(next(tr.train_data.batches(8)))
     dev = tr._put(batch)
     tr.state, _ = tr._train_step(tr.state, dev)
-    tr.best_records.update(epoch=3, MPE=12.5)
+    # best_epoch (epoch of best MPE) is kept separately from the resume
+    # cursor 'epoch' and must survive non-improving later epochs
+    tr.best_records.update(epoch=3, best_epoch=2, MPE=12.5)
     tr.save(3)
     p0 = np.asarray(
         jax.tree_util.tree_leaves(tr.state.params)[0])
 
     tr2 = make_trainer(tmp_path)  # same workdir -> auto-restore
     assert tr2.best_records["epoch"] == 3
+    assert tr2.best_records["best_epoch"] == 2
     assert abs(tr2.best_records["MPE"] - 12.5) < 1e-6
     p1 = np.asarray(jax.tree_util.tree_leaves(tr2.state.params)[0])
     np.testing.assert_allclose(p0, p1)
@@ -207,4 +210,47 @@ def test_one_epoch_hourglass_train(tmp_path):
     tr = Trainer(cfg, train, test, workdir=str(tmp_path / "hg"))
     tr.train()  # one epoch end-to-end incl. test + checkpoint
     assert tr.ckpt.latest_epoch() == 1
+    tr.close()
+
+
+def test_eval_loss_sums_all_stacks(tmp_path):
+    """The eval loss must SUM the per-stack coord+offset losses over
+    every hourglass stack (reference test.py:74-87) while the decoded
+    joints come from the LAST stack (PARITY.md)."""
+    import jax.numpy as jnp
+
+    from awr_tpu.ops import smooth_l1_loss
+    from awr_tpu.ops.decode import decode_offsets
+    from awr_tpu.ops.encode import encode_offsets
+
+    cfg = small_config(net="hourglass_2", kernel_size=0.4, batch_size=2,
+                       img_size=64, coord_weight=1.0)
+    ds = SyntheticHandDataset(2, 14, 64, phase="test", seed=0)
+    tr = Trainer(cfg, test_data=ds, workdir=str(tmp_path / "w"))
+    batch, _ = tr._pad(next(ds.batches(2)))
+    dev = tr._put(batch)
+    m = tr._eval_step(tr.state.params, tr.state.batch_stats, dev)
+
+    img = dev["img"]
+    preds = tr.model.apply(
+        {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
+        img[..., None], train=False)
+    assert preds.shape[0] == 2  # (S, B, F, F, 4J)
+    gt = encode_offsets(dev["jt_uvd"], img, 0.4, cfg.feature_size,
+                        use_pallas=False)
+    expected = 0.0
+    for s in range(2):
+        jt = decode_offsets(preds[s], img, 0.4, use_pallas=False)
+        expected += (cfg.coord_weight
+                     * smooth_l1_loss(jt, dev["jt_uvd"],
+                                      sample_weight=dev["w"])
+                     + cfg.dense_weight
+                     * smooth_l1_loss(preds[s], gt,
+                                      sample_weight=dev["w"]))
+    np.testing.assert_allclose(float(m["loss"]), float(expected),
+                               rtol=1e-6)
+    # metrics joints = LAST stack's decode
+    last = decode_offsets(preds[-1], img, 0.4, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(m["jt_uvd_pred"]),
+                               np.asarray(last), rtol=1e-6, atol=1e-7)
     tr.close()
