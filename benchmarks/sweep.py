@@ -1,10 +1,13 @@
-"""Large-batch inference throughput sweep (BASELINE.json config 5).
+"""Inference/training throughput sweep + Pallas-vs-XLA decode comparison
+(BASELINE.json config 5).
 
-Times forward+decode across backbones and batch sizes with chained,
-bit-distinct inputs (defeating runtime caching of identical dispatches).
+Same methodology as bench.py (see BENCH_METHODOLOGY.md): run-unique
+salted inputs (defeats the tunnel's cross-run dispatch memoization),
+serial on-device lax.scan chains, host-materialized checksums, and a
+linearity gate on every row.
 
 Usage: python benchmarks/sweep.py [--nets resnet_18,hourglass_1]
-       [--batches 32,128,512] [--dtype bfloat16]
+       [--batches 32,128,512] [--dtype bfloat16] [--train] [--decode]
 """
 
 from __future__ import annotations
@@ -19,55 +22,138 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+INNER = 4  # serial iterations per jitted call
 
-def run_one(net: str, batch: int, dtype_name: str, img: int = 128,
-            iters: int = 20):
+
+def _salt() -> float:
+    return int.from_bytes(os.urandom(4), "little") / 2.0**32
+
+
+def _measure(chained, img, outer: int):
+    """Time `outer` + `2*outer` host-synced calls; gate on linearity.
+
+    Returns (seconds_per_inner_iteration, linearity_ratio).
+    """
+    import numpy as np
+
+    img, s = chained(img)
+    float(s)  # warmup + compile
+
+    def run(n, img):
+        acc = 0.0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            img, s = chained(img)
+            acc += float(s)  # host materialization: forces execution
+        dt = time.perf_counter() - t0
+        assert np.isfinite(acc)
+        return dt, img
+
+    dt1, img = run(outer, img)
+    dt2, img = run(2 * outer, img)
+    ratio = dt2 / dt1
+    per_iter = (dt1 + dt2) / (3 * outer * INNER)
+    return per_iter, ratio
+
+
+def _cfg_for(net: str):
+    from awr_tpu.config import hourglass_config, resnet_config
+
+    if net.startswith("resnet"):
+        return resnet_config(int(net.split("_")[1]))
+    return hourglass_config(int(net.split("_")[1]))
+
+
+def run_infer(net: str, batch: int, dtype_name: str, img_size: int = 128,
+              outer: int = 5, use_pallas: bool | None = None):
+    """Forward + decode throughput (the reference eval loop's device
+    math, test.py:67-97)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from awr_tpu.config import hourglass_config, resnet_config
     from awr_tpu.models import build_model
     from awr_tpu.ops.decode import decode_offsets
 
-    if net.startswith("resnet"):
-        cfg = resnet_config(int(net.split("_")[1]))
-    else:
-        cfg = hourglass_config(int(net.split("_")[1]))
+    cfg = _cfg_for(net)
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model = build_model(cfg.net, cfg.jt_num, cfg.downsample, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, img, img, 1)), train=True)
-    on_tpu = jax.default_backend() == "tpu"
+                           jnp.zeros((1, img_size, img_size, 1)),
+                           train=True)
+    p, bs = variables["params"], variables["batch_stats"]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
-    def infer(params, batch_stats, x):
-        out = model.apply({"params": params, "batch_stats": batch_stats},
-                          x[..., None], train=False)
-        if out.ndim == 5:
-            out = out[-1]
-        jt = decode_offsets(out, x, cfg.kernel_size, use_pallas=on_tpu)
-        return jt, x * 1.000001
+    def chained(x):
+        def body(carry, _):
+            out = model.apply({"params": p, "batch_stats": bs},
+                              carry[..., None], train=False)
+            if out.ndim == 5:
+                out = out[-1]
+            jt = decode_offsets(out, carry, cfg.kernel_size,
+                                use_pallas=use_pallas)
+            return carry * 0.999999 + jnp.sum(jt) * 1e-9, jnp.sum(jt)
+        x_out, sums = jax.lax.scan(body, x, None, length=INNER)
+        return x_out, jnp.sum(sums)
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.uniform(-1, 1, (batch, img, img))
-                    .astype(np.float32))
-    p, bs = variables["params"], variables["batch_stats"]
-    jt, x = infer(p, bs, x)
-    jt.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jt, x = infer(p, bs, x)
-    jt.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return dict(net=net, batch=batch, dtype=dtype_name,
-                ms_per_batch=round(dt * 1e3, 3),
-                frames_per_sec=round(batch / dt, 1))
+    x = jnp.asarray(rng.uniform(-1, 1, (batch, img_size, img_size))
+                    .astype(np.float32) + np.float32(_salt() * 1e-3))
+    per_iter, ratio = _measure(chained, x, outer)
+    return dict(net=net, batch=batch, dtype=dtype_name, mode="infer",
+                decode="pallas" if use_pallas else "xla",
+                ms_per_batch=round(per_iter * 1e3, 3),
+                frames_per_sec=round(batch / per_iter, 1),
+                linearity=round(ratio, 2))
 
 
-def run_train_one(net: str, batch: int, dtype_name: str, img: int = 128,
-                  iters: int = 20):
-    """Full train-step timing (encode + fwd + bwd + Adam update)."""
+def run_decode(batch: int, feat: int = 64, jt_num: int = 14,
+               kernel: float = 1.0, img_size: int = 128, outer: int = 5,
+               use_pallas: bool = True):
+    """Decode-only: the AWR adaptive weighted integration
+    (offset2joint_softmax), Pallas kernel vs XLA-fused jnp twin."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awr_tpu.ops.decode import decode_offsets
+
+    @jax.jit
+    def chained(off, img):
+        def body(carry, _):
+            jt = decode_offsets(carry, img, kernel,
+                                use_pallas=use_pallas)
+            nxt = carry * 0.999999 + jnp.sum(jt) * 1e-9
+            return nxt, jnp.sum(jt)
+        off_out, sums = jax.lax.scan(body, off, None, length=INNER)
+        return off_out, jnp.sum(sums)
+
+    rng = np.random.RandomState(0)
+    off = jnp.asarray(
+        rng.uniform(-1, 1, (batch, feat, feat, 4 * jt_num))
+        .astype(np.float32) + np.float32(_salt() * 1e-3))
+    img = jnp.asarray(rng.uniform(-1, 1, (batch, img_size, img_size))
+                      .astype(np.float32))
+
+    import functools
+    per_iter, ratio = _measure(
+        functools.partial(chained, img=img), off, outer)
+    return dict(batch=batch, feat=feat, mode="decode",
+                decode="pallas" if use_pallas else "xla",
+                ms_per_batch=round(per_iter * 1e3, 3),
+                frames_per_sec=round(batch / per_iter, 1),
+                linearity=round(ratio, 2))
+
+
+def run_train_one(net: str, batch: int, dtype_name: str,
+                  img_size: int = 128, iters: int = 10):
+    """Full train-step timing (encode + fwd + bwd + Adam update).
+
+    The state chains serially through donated buffers; each step's loss
+    is host-materialized, so every step provably executes.  Inputs are
+    salted per run (no cross-run memoization)."""
     import tempfile
 
     import jax
@@ -76,28 +162,41 @@ def run_train_one(net: str, batch: int, dtype_name: str, img: int = 128,
     from awr_tpu.config import Config
     from awr_tpu.data.synthetic import SyntheticHandDataset
     from awr_tpu.training.trainer import Trainer
-    import time as _t
 
     ks = 1.0 if net.startswith("resnet") else 0.4
-    cfg = Config(net=net, kernel_size=ks, img_size=img, batch_size=batch,
-                 vis_freq=0, use_pallas=True, print_freq=10**9,
-                 compute_dtype=dtype_name, matmul_precision="default")
-    ds = SyntheticHandDataset(batch, cfg.jt_num, img, phase="train",
-                              seed=0)
+    cfg = Config(net=net, kernel_size=ks, img_size=img_size,
+                 batch_size=batch, vis_freq=0, use_pallas=True,
+                 print_freq=10**9, compute_dtype=dtype_name,
+                 matmul_precision="default")
+    ds = SyntheticHandDataset(min(batch, 64), cfg.jt_num, img_size,
+                              phase="train", seed=0)
     tr = Trainer(cfg, ds, workdir=tempfile.mkdtemp(prefix="awr_bench_"))
-    b, _ = tr._pad(next(ds.batches(batch)))
+    b, _ = tr._pad(next(ds.batches(min(batch, 64))))
+    reps = -(-batch // len(b["img"]))
+    b = {k: np.concatenate([v] * reps)[:batch] for k, v in b.items()}
+    b["img"] = b["img"] + np.float32(_salt() * 1e-3)
     dev = tr._put(b)
     tr.state, m = tr._train_step(tr.state, dev)
-    jax.block_until_ready(m["loss"])
-    t0 = _t.perf_counter()
-    for _ in range(iters):
-        tr.state, m = tr._train_step(tr.state, dev)
-    jax.block_until_ready(m["loss"])
-    dt = (_t.perf_counter() - t0) / iters
+    float(m["loss"])  # compile + warmup
+
+    def run(n):
+        acc = 0.0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            tr.state, m = tr._train_step(tr.state, dev)
+            acc += float(m["loss"])
+        assert np.isfinite(acc)
+        return time.perf_counter() - t0
+
+    dt1 = run(iters)
+    dt2 = run(2 * iters)
+    ratio = dt2 / dt1
+    dt = (dt1 + dt2) / (3 * iters)
     tr.close()
     return dict(net=net, batch=batch, dtype=dtype_name, mode="train",
                 ms_per_step=round(dt * 1e3, 3),
-                frames_per_sec=round(batch / dt, 1))
+                frames_per_sec=round(batch / dt, 1),
+                linearity=round(ratio, 2))
 
 
 def main():
@@ -107,13 +206,27 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--train", action="store_true",
                     help="also time full train steps")
+    ap.add_argument("--decode", action="store_true",
+                    help="decode-only Pallas-vs-XLA comparison")
+    ap.add_argument("--compare-decode", action="store_true",
+                    help="run infer rows with BOTH decode spellings")
     args = ap.parse_args()
+    batches = [int(b) for b in args.batches.split(",")]
+    if args.decode:
+        for b in batches:
+            print(json.dumps(run_decode(b, use_pallas=True)))
+            print(json.dumps(run_decode(b, use_pallas=False)))
     for net in args.nets.split(","):
-        for b in args.batches.split(","):
-            res = run_one(net.strip(), int(b), args.dtype)
-            print(json.dumps(res))
+        for b in batches:
+            if args.compare_decode:
+                print(json.dumps(run_infer(net.strip(), b, args.dtype,
+                                           use_pallas=True)))
+                print(json.dumps(run_infer(net.strip(), b, args.dtype,
+                                           use_pallas=False)))
+            else:
+                print(json.dumps(run_infer(net.strip(), b, args.dtype)))
             if args.train:
-                print(json.dumps(run_train_one(net.strip(), int(b),
+                print(json.dumps(run_train_one(net.strip(), b,
                                                args.dtype)))
 
 
