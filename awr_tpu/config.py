@@ -98,6 +98,9 @@ class Config:
     supervise_all_stacks: bool = True
     # RNG seed for params/augmentation.
     seed: int = 23455
+    # Keep only the newest N epoch checkpoints (None = keep all, the
+    # reference behavior; long runs should bound disk growth).
+    ckpt_max_to_keep: Optional[int] = None
 
     @property
     def feature_size(self) -> int:

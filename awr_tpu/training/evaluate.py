@@ -34,6 +34,8 @@ def build_config(args) -> Config:
     )
     if args.downsample:
         over["downsample"] = args.downsample
+    if getattr(args, "ckpt_max_to_keep", 0):
+        over["ckpt_max_to_keep"] = args.ckpt_max_to_keep
     return cfg.replace(**over)
 
 
@@ -53,6 +55,11 @@ def add_common_args(ap: argparse.ArgumentParser):
     ap.add_argument("--synthetic", action="store_true",
                     help="use the synthetic dataset (no NYU files needed)")
     ap.add_argument("--synthetic-size", type=int, default=32)
+    ap.add_argument("--synthetic-test-size", type=int, default=0,
+                    help="test-split size (0 = same as --synthetic-size)")
+    ap.add_argument("--ckpt-max-to-keep", type=int, default=0,
+                    help="keep only the newest N epoch checkpoints "
+                         "(0 = keep all, reference behavior)")
     ap.add_argument("--vis-freq", type=int, default=0,
                     help="overlay PNG every N batches (0=off)")
     ap.add_argument("--no-pallas", action="store_true")
@@ -76,7 +83,9 @@ def make_datasets(args, cfg: Config, train: bool = False):
     if args.synthetic:
         from awr_tpu.data.synthetic import SyntheticHandDataset
 
-        test = SyntheticHandDataset(args.synthetic_size, cfg.jt_num,
+        test_size = (getattr(args, "synthetic_test_size", 0)
+                     or args.synthetic_size)
+        test = SyntheticHandDataset(test_size, cfg.jt_num,
                                     cfg.img_size, phase="test", seed=1,
                                     mode=mode)
         tr = (SyntheticHandDataset(args.synthetic_size, cfg.jt_num,

@@ -43,8 +43,13 @@ def _stacked(out: jax.Array) -> jax.Array:
     return out if out.ndim == 5 else out[None]
 
 
-def make_train_step(model, optimizer, cfg):
-    """Returns ``train_step(state, batch) -> (state, metrics)``."""
+def make_train_step(model, optimizer, cfg, mesh=None):
+    """Returns ``train_step(state, batch) -> (state, metrics)``.
+
+    ``mesh`` (optional, >1 devices): shard_maps the Pallas encode/decode
+    over the batch axis so the kernels run on local shards instead of
+    forcing an all-gather of the dense maps (ops/decode.py docstring).
+    """
     kernel = cfg.kernel_size
     feat = cfg.feature_size
     dense_w = cfg.dense_weight
@@ -56,7 +61,7 @@ def make_train_step(model, optimizer, cfg):
         # (B,) validity weights mask mesh-size padding rows (if present)
         w = batch.get("w")
         offset_gt = encode_offsets(batch["jt_uvd"], img, kernel, feat,
-                                   use_pallas=cfg.use_pallas)
+                                   use_pallas=cfg.use_pallas, mesh=mesh)
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -71,7 +76,8 @@ def make_train_step(model, optimizer, cfg):
             jt_pred = None
             for s in idxs:
                 jt_pred = decode_offsets(preds[s], img, kernel,
-                                         use_pallas=cfg.use_pallas)
+                                         use_pallas=cfg.use_pallas,
+                                         mesh=mesh)
                 loss_coord += coord_w * smooth_l1_loss(
                     jt_pred, batch["jt_uvd"], sample_weight=w)
                 loss_offset += dense_w * smooth_l1_loss(
@@ -95,7 +101,7 @@ def make_train_step(model, optimizer, cfg):
     return train_step
 
 
-def make_eval_step(model, cfg):
+def make_eval_step(model, cfg, mesh=None):
     """Returns ``eval_step(params, batch_stats, batch) -> metrics`` with
     decoded joints + the same losses the reference reports in eval.
 
@@ -118,13 +124,14 @@ def make_eval_step(model, cfg):
         )
         preds = _stacked(out)
         offset_gt = encode_offsets(batch["jt_uvd"], img, kernel, feat,
-                                   use_pallas=cfg.use_pallas)
+                                   use_pallas=cfg.use_pallas, mesh=mesh)
         loss_offset = 0.0
         loss_coord = 0.0
         jt_pred = None
         for s in range(preds.shape[0]):
             jt_pred = decode_offsets(preds[s], img, kernel,
-                                     use_pallas=cfg.use_pallas)
+                                     use_pallas=cfg.use_pallas,
+                                     mesh=mesh)
             loss_coord += coord_w * smooth_l1_loss(
                 jt_pred, batch["jt_uvd"], sample_weight=w)
             loss_offset += dense_w * smooth_l1_loss(
@@ -135,7 +142,8 @@ def make_eval_step(model, cfg):
     return eval_step
 
 
-def make_raw_train_step(model, optimizer, cfg, paras, flip: int):
+def make_raw_train_step(model, optimizer, cfg, paras, flip: int,
+                        mesh=None):
     """Fused raw-mode step: device crop/augment/normalize + encode +
     forward + loss + update in ONE jitted program.
 
@@ -145,7 +153,7 @@ def make_raw_train_step(model, optimizer, cfg, paras, flip: int):
     """
     from awr_tpu.data.device import draw_augment_params, train_preprocess
 
-    base = make_train_step(model, optimizer, cfg)
+    base = make_train_step(model, optimizer, cfg, mesh=mesh)
     paras_arr = jnp.asarray(paras, jnp.float32)
     s_t, s_s, s_r = cfg.augment_para
 
@@ -168,12 +176,12 @@ def make_raw_train_step(model, optimizer, cfg, paras, flip: int):
     return raw_train_step
 
 
-def make_raw_eval_step(model, cfg, paras, flip: int):
+def make_raw_eval_step(model, cfg, paras, flip: int, mesh=None):
     """Fused raw-mode eval: device crop/normalize + forward + decode +
     losses in one jitted program (augmentation forced to 'none')."""
     from awr_tpu.data.device import train_preprocess
 
-    base = make_eval_step(model, cfg)
+    base = make_eval_step(model, cfg, mesh=mesh)
     paras_arr = jnp.asarray(paras, jnp.float32)
 
     def raw_eval_step(params, batch_stats, raw, crop_params):
@@ -198,7 +206,7 @@ def make_raw_eval_step(model, cfg, paras, flip: int):
     return raw_eval_step
 
 
-def make_infer_step(model, cfg):
+def make_infer_step(model, cfg, mesh=None):
     """Forward + decode only (throughput path; bf16-able)."""
     kernel = cfg.kernel_size
 
@@ -209,6 +217,6 @@ def make_infer_step(model, cfg):
         )
         preds = _stacked(out)
         return decode_offsets(preds[-1], img, kernel,
-                              use_pallas=cfg.use_pallas)
+                              use_pallas=cfg.use_pallas, mesh=mesh)
 
     return infer_step

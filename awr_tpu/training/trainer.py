@@ -102,20 +102,27 @@ class Trainer:
         # Replicate state across the mesh; batches are sharded per step.
         self.state = jax.device_put(self.state, replicated(self.mesh))
 
+        # >1 devices: the Pallas encode/decode must be shard_map'ed over
+        # the batch axis (pallas_call has no GSPMD partitioning rule)
+        pmesh = self.mesh if self.n_dev > 1 else None
         self._train_step = jax.jit(
-            make_train_step(self.model, self.optimizer, config),
+            make_train_step(self.model, self.optimizer, config,
+                            mesh=pmesh),
             donate_argnums=(0,))
-        self._eval_step = jax.jit(make_eval_step(self.model, config))
-        self._infer_step = jax.jit(make_infer_step(self.model, config))
+        self._eval_step = jax.jit(make_eval_step(self.model, config,
+                                                 mesh=pmesh))
+        self._infer_step = jax.jit(make_infer_step(self.model, config,
+                                                   mesh=pmesh))
         # fused raw-mode steps (device preprocessing inside the program)
         ds = train_data if train_data is not None else test_data
         if ds is not None and getattr(ds, "mode", "host") == "raw":
             self._raw_train_step = jax.jit(
                 make_raw_train_step(self.model, self.optimizer, config,
-                                    ds.paras, ds.flip),
+                                    ds.paras, ds.flip, mesh=pmesh),
                 donate_argnums=(0,))
             self._raw_eval_step = jax.jit(
-                make_raw_eval_step(self.model, config, ds.paras, ds.flip))
+                make_raw_eval_step(self.model, config, ds.paras, ds.flip,
+                                   mesh=pmesh))
 
         # 'epoch' is the resume cursor (last completed epoch, reference
         # train.py:105); 'best_epoch' is the epoch that achieved the best
@@ -124,7 +131,8 @@ class Trainer:
                              "AUC": 0.0}
         self.plateau = (PlateauScheduler(config.lr)
                         if config.scheduler == "auto" else None)
-        self.ckpt = CheckpointManager(os.path.join(self.work_dir, "ckpt"))
+        self.ckpt = CheckpointManager(os.path.join(self.work_dir, "ckpt"),
+                                      max_to_keep=config.ckpt_max_to_keep)
         if config.load_model:
             self.restore(config.load_model)
         elif self.ckpt.latest_epoch() is not None:

@@ -1,6 +1,8 @@
 """Pallas kernel parity in interpreter mode (tiny shapes; the real-TPU
 checks run in bench/driver).  Verified on hardware: decode 6e-7 max err
-at batch 128 (~1.8x the XLA-fused jnp decode), encode bit-exact."""
+at batch 128, encode bit-exact.  Throughput: statistically tied with
+the XLA-fused jnp decode in isolation, ~7% ahead end-to-end at batch 32
+(benchmarks/sweep_r02_decode.jsonl, honest harness)."""
 
 import numpy as np
 import pytest
@@ -63,3 +65,71 @@ def test_encode_dispatch_cpu_fallback():
     exp = joint2offset(jt, img, 0.8, 8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
                                rtol=1e-6)
+
+
+def test_pallas_decode_under_multidevice_mesh_interpret():
+    """decode_offsets with a >1-device mesh must shard_map the Pallas
+    kernel over the batch axis (pallas_call has no GSPMD rule; without
+    this the dense maps would be all-gathered per step — ADVICE r1).
+    Interpret mode on the 8-device CPU mesh; exact vs the jnp twin."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from awr_tpu.ops.decode import decode_offsets
+    from awr_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    B, F, J = 16, 8, 14
+    img, _ = tiny_batch(B=B)
+    off = RNG.randn(B, F, F, 4 * J).astype(np.float32) * 0.3
+
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    off_d = jax.device_put(jnp.asarray(off), sh)
+    img_d = jax.device_put(jnp.asarray(img), sh)
+
+    fn = jax.jit(lambda o, i: decode_offsets(
+        o, i, 0.4, use_pallas=True, mesh=mesh, interpret=True))
+    got = np.asarray(fn(off_d, img_d))
+    exp = np.asarray(offset2joint_softmax(jnp.asarray(off),
+                                          jnp.asarray(img), 0.4))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+    # gradients flow through the shard_map'ed custom_vjp (jnp backward)
+    def loss(o):
+        return jnp.sum(decode_offsets(o, img_d, 0.4, use_pallas=True,
+                                      mesh=mesh, interpret=True) ** 2)
+
+    g_got = np.asarray(jax.jit(jax.grad(loss))(off_d))
+    g_exp = np.asarray(jax.grad(
+        lambda o: jnp.sum(offset2joint_softmax(o, jnp.asarray(img),
+                                               0.4) ** 2))(
+        jnp.asarray(off)))
+    np.testing.assert_allclose(g_got, g_exp, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_encode_under_multidevice_mesh_interpret():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from awr_tpu.ops.encode import encode_offsets
+    from awr_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    B, F = 8, 8
+    img, jt = tiny_batch(B=B)
+    jt = RNG.uniform(-0.5, 0.5, (B, 14, 3)).astype(np.float32)
+
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    jt_d = jax.device_put(jnp.asarray(jt), sh)
+    img_d = jax.device_put(jnp.asarray(img), sh)
+
+    fn = jax.jit(lambda j, i: encode_offsets(
+        j, i, 0.8, F, use_pallas=True, mesh=mesh, interpret=True))
+    got = np.asarray(fn(jt_d, img_d))
+    exp = np.asarray(joint2offset(jnp.asarray(jt), jnp.asarray(img),
+                                  0.8, F))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
