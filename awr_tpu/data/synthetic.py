@@ -65,7 +65,8 @@ class SyntheticHandDataset(DepthDataset):
                  img_size: int = 128, cube=(300.0, 300.0, 300.0),
                  phase: str = "test", aug_para=(10.0, 0.1, 180.0),
                  seed: int = 0, mode: str = "host",
-                 shape=(480, 640), cache_renders: bool = True):
+                 shape=(480, 640), cache_renders: bool = True,
+                 layout: str = "random"):
         self.n = num_samples
         self.jt_num = jt_num
         self.img_size = img_size
@@ -81,16 +82,43 @@ class SyntheticHandDataset(DepthDataset):
         self.rng = np.random.RandomState(23455)
 
         g = np.random.RandomState(seed)
+        self.layout = layout
         self.centers = np.stack(
             [g.uniform(-80, 80, num_samples),
              g.uniform(-60, 60, num_samples),
              g.uniform(650, 950, num_samples)], axis=1)
-        # joints scattered within ~70mm of the center ("fingers")
-        self.joints = (self.centers[:, None, :]
-                       + g.uniform(-70, 70, (num_samples, jt_num, 3)))
-        # keep joint depth near the palm so everything fits in the cube
-        self.joints[..., 2] = (self.centers[:, None, 2]
-                               + g.uniform(-40, 40, (num_samples, jt_num)))
+        if layout == "random":
+            # joints scattered within ~70mm of the center ("fingers").
+            # NOTE: rear spheres can be fully OCCLUDED by the large palm
+            # sphere, so some joints are ill-posed from a single depth
+            # view — this task has an irreducible error floor and is
+            # meant for pipeline exercise, not convergence proofs.
+            self.joints = (self.centers[:, None, :]
+                           + g.uniform(-70, 70,
+                                       (num_samples, jt_num, 3)))
+            self.joints[..., 2] = (
+                self.centers[:, None, 2]
+                + g.uniform(-40, 40, (num_samples, jt_num)))
+            self._radii = None  # render_hand_depth defaults (big palm)
+        elif layout == "grid":
+            # every joint VISIBLE: small equal spheres on a jittered
+            # xy grid facing the camera, shallow z spread.  Fully
+            # observable -> no error floor; use for convergence checks.
+            # spacing 35mm, xy jitter +-6, radius 10: min center
+            # distance 35 - 12 = 23 > 2r = 20, so spheres are disjoint
+            # and every joint is visible by construction
+            side = int(np.ceil(np.sqrt(jt_num)))
+            gx, gy = np.meshgrid(np.arange(side), np.arange(side))
+            grid = np.stack([gx.ravel(), gy.ravel()], 1)[:jt_num]
+            grid = (grid - (side - 1) / 2.0) * (140.0 / side)
+            off = np.zeros((num_samples, jt_num, 3))
+            off[..., :2] = grid[None] + g.uniform(
+                -6, 6, (num_samples, jt_num, 2))
+            off[..., 2] = g.uniform(-10, 10, (num_samples, jt_num))
+            self.joints = self.centers[:, None, :] + off
+            self._radii = [10.0] * jt_num
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
         self._render_cache = {} if cache_renders else None
 
     def __len__(self):
@@ -105,7 +133,7 @@ class SyntheticHandDataset(DepthDataset):
         img = self._render_cache.get(index) if self._render_cache is not None else None
         if img is None:
             img = render_hand_depth(center_xyz, jt_xyz, self.paras,
-                                    self.shape)
+                                    self.shape, radii=self._radii)
             if self._render_cache is not None:
                 self._render_cache[index] = img
         return img.copy(), jt_xyz.copy(), center_xyz.copy()

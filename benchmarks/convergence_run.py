@@ -1,0 +1,81 @@
+"""Sustained-convergence check on real hardware: >=10x MPE improvement.
+
+Trains the full fused path (Pallas encode -> backbone -> Pallas decode
+-> delta=0.01 smooth-L1 -> Adam) on the FULLY-VISIBLE synthetic layout
+(`SyntheticHandDataset(layout='grid')` — every joint's sphere is
+observable, so the task has no occlusion error floor, unlike the
+default 'random' layout) and asserts the held-out test MPE improves
+>= 10x from the untrained baseline.
+
+Usage: python benchmarks/convergence_run.py [--net resnet_18]
+       [--epochs 125] [--out runs/convergence_r02.json]
+
+The reference recipe analog: batch 32, Adam lr 1e-3 (reference
+config.py:36-46); StepLR decay pushed late (step=100) since this run is
+about optimization depth, not the NYU schedule.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--net", default="resnet_18")
+    ap.add_argument("--epochs", type=int, default=125)
+    ap.add_argument("--train-size", type=int, default=512)
+    ap.add_argument("--test-size", type=int, default=64)
+    ap.add_argument("--out", default="runs/convergence_r02.json")
+    ap.add_argument("--workdir", default="runs/r02_convergence")
+    args = ap.parse_args()
+
+    from awr_tpu.config import Config
+    from awr_tpu.data.synthetic import SyntheticHandDataset
+    from awr_tpu.training.trainer import Trainer
+
+    ks = 1.0 if args.net.startswith("resnet") else 0.4
+    cfg = Config(net=args.net, kernel_size=ks, img_size=128,
+                 batch_size=32, vis_freq=0, print_freq=1000,
+                 max_epoch=args.epochs, step=100,
+                 exp_id=f"convergence_{args.net}",
+                 ckpt_max_to_keep=2)
+    train = SyntheticHandDataset(args.train_size, cfg.jt_num, 128,
+                                 phase="train", seed=0, layout="grid")
+    test = SyntheticHandDataset(args.test_size, cfg.jt_num, 128,
+                                phase="test", seed=1, layout="grid")
+    tr = Trainer(cfg, train, test, workdir=args.workdir)
+
+    t0 = time.time()
+    init_mpe, _ = tr.test(epoch=0)  # untrained baseline
+    tr.train()
+    final_mpe = tr.best_records["MPE"]
+    wall = time.time() - t0
+    tr.close()
+
+    improvement = init_mpe / final_mpe
+    result = dict(net=args.net, epochs=args.epochs,
+                  steps=args.epochs * (args.train_size // 32),
+                  init_test_mpe_mm=round(float(init_mpe), 3),
+                  final_test_mpe_mm=round(float(final_mpe), 3),
+                  improvement_x=round(float(improvement), 1),
+                  best_epoch=tr.best_records["best_epoch"],
+                  wall_s=round(wall, 1))
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    assert improvement >= 10.0, (
+        f"convergence regression: only {improvement:.1f}x "
+        f"({init_mpe:.1f} -> {final_mpe:.1f} mm)")
+
+
+if __name__ == "__main__":
+    main()

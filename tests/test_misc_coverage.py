@@ -70,3 +70,25 @@ def test_config_replace_and_factories():
     hg = hourglass_config(2)
     assert hg.nstack == 2 and hg.kernel_size == 0.4
     assert Config().paras[0] == 588.03
+
+
+def test_synthetic_grid_layout_all_visible():
+    """layout='grid' places equal small spheres on a jittered grid so
+    EVERY joint is observable from the camera (no occlusion floor) —
+    the convergence-run task (benchmarks/convergence_run.py)."""
+    import numpy as np
+
+    from awr_tpu.data.synthetic import SyntheticHandDataset
+
+    ds = SyntheticHandDataset(3, 14, 64, phase="test", seed=0,
+                              layout="grid")
+    for i in range(3):
+        img, jt_xyz, center = ds.raw_item(i)
+        # each joint's projected pixel must see a surface within its
+        # sphere radius (11mm) + rendering slack -> joint visible
+        from awr_tpu.geometry import xyz2uvd_np
+
+        uvd = xyz2uvd_np(jt_xyz, ds.paras, ds.flip)
+        for (u, v, d) in uvd:
+            z = img[int(round(v)), int(round(u))]
+            assert 0 < z <= d + 1.0 and z >= d - 12.0, (z, d)
