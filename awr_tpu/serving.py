@@ -72,11 +72,32 @@ class Predictor:
         return cls(config, variables, **kw)
 
     # --------------------------------------------------------- inference
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad batch size up to a power-of-two bucket (min 8) so XLA
+        compiles one executable per bucket instead of one per distinct
+        client batch size."""
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
     def predict_normalized(self, img_norm) -> np.ndarray:
-        """(B, S, S) normalized depth -> (B, J, 3) normalized uvd."""
-        return np.asarray(
+        """(B, S, S) normalized depth -> (B, J, 3) normalized uvd.
+
+        Batches are padded to power-of-two buckets (XLA compiles per
+        static shape; arbitrary serving batch sizes would otherwise each
+        pay a fresh compile).  Padding rows are discarded."""
+        img_norm = np.asarray(img_norm, np.float32)
+        n = len(img_norm)
+        bucket = self._bucket(n)
+        if bucket != n:
+            pad = np.repeat(img_norm[-1:], bucket - n, axis=0)
+            img_norm = np.concatenate([img_norm, pad])
+        out = np.asarray(
             self._infer(self.params, self.batch_stats,
-                        jnp.asarray(img_norm, jnp.float32)))
+                        jnp.asarray(img_norm)))
+        return out[:n]
 
     def predict(self, imgs, centers_xyz, cubes=None) -> np.ndarray:
         """Raw frames -> camera-coordinate joints.

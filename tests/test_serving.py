@@ -98,3 +98,30 @@ def test_from_checkpoint_roundtrip(tmp_path):
     out = pred.predict(np.stack([r[0] for r in raws]),
                        np.stack([r[2] for r in raws]))
     assert np.isfinite(out).all()
+
+
+def test_predict_bucketing_batch_invariance(tmp_path):
+    """Serving pads to power-of-two buckets (one XLA executable per
+    bucket, not per client batch size); results must be identical to
+    the unpadded computation and independent of bucket padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from awr_tpu.models import build_model
+
+    cfg = _cfg()
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 1)), train=True)
+    pred = Predictor(cfg, dict(variables))
+    assert pred._bucket(1) == 8 and pred._bucket(8) == 8
+    assert pred._bucket(9) == 16 and pred._bucket(33) == 64
+
+    g = np.random.RandomState(0)
+    img = np.ones((11, 128, 128), np.float32)
+    img[:, 30:100, 30:100] = g.uniform(-0.9, 0.5,
+                                       (11, 70, 70)).astype(np.float32)
+    out11 = pred.predict_normalized(img)          # bucket 16
+    out3 = pred.predict_normalized(img[:3])       # bucket 8
+    assert out11.shape == (11, cfg.jt_num, 3)
+    np.testing.assert_allclose(out3, out11[:3], rtol=1e-5, atol=1e-6)
