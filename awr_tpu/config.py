@@ -89,8 +89,13 @@ class Config:
     compute_dtype: str = "float32"
     # jax matmul precision: 'default' | 'high' | 'highest'.
     matmul_precision: str = "highest"
-    # Use the fused Pallas decode kernel when on TPU.
-    use_pallas: bool = True
+    # Use the fused Pallas encode/decode kernels when on TPU.  Default
+    # FALSE: after the decode was rewritten as fusable contractions
+    # (ops/functional.py), the XLA spelling measures ~8-12% faster
+    # end-to-end than the Pallas kernel (benchmarks/
+    # sweep_r02_decode.jsonl rows dated v2) — the default follows the
+    # winner; the kernels remain available and tested.
+    use_pallas: bool = False
     # Supervise all hourglass stacks in one fused fwd/bwd (True, recommended)
     # or only the last stack (False: strict reference behavior — the reference
     # loop at train.py:116-121 overwrites `loss` per stage so only the last

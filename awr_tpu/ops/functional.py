@@ -135,6 +135,7 @@ def offset2joint_softmax(
     """
     B, F, _, C = offset.shape
     J = C // 4
+    P = F * F
     dtype = offset.dtype
     img_f = resize_nearest(img, F).astype(dtype)  # (B, F, F)
     mesh_x, mesh_y = pixel_mesh(F, dtype)
@@ -143,21 +144,27 @@ def offset2joint_softmax(
          jnp.broadcast_to(mesh_y, (B, F, F)),
          img_f],
         axis=-1,
-    )  # (B, F, F, 3)
-    mask = (img_f < FG_THRESHOLD).astype(dtype)  # (B, F, F)
-    vec = offset[..., : J * 3].reshape(B, F, F, J, 3) * mask[..., None, None]
-    ht = offset[..., J * 3 :] * mask[..., None]  # (B, F, F, J)
+    ).reshape(B, P, 3)
+    mask = (img_f < FG_THRESHOLD).astype(dtype).reshape(B, P)
+    off_flat = offset.reshape(B, P, C)
+    v3 = off_flat[..., : 3 * J] * mask[..., None]  # (B, P, 3J)
+    ht = off_flat[..., 3 * J:] * mask[..., None]  # (B, P, J)
 
-    ht_flat = ht.reshape(B, F * F, J)
     # Softmax over the pixel axis (feature_tool.py:60).  Masked pixels keep
     # weight exp(0): the reference zeroes the heatmap, not the logit.
-    w = jax.nn.softmax(ht_flat * SOFTMAX_TEMP, axis=1)  # (B, F*F, J)
-    dis = kernel_size - ht_flat * kernel_size  # (B, F*F, J)
-    est = (
-        vec.reshape(B, F * F, J, 3) * dis[..., None]
-        + coords.reshape(B, F * F, 1, 3)
-    )  # per-pixel joint estimates
-    return jnp.sum(est * w[..., None], axis=1)  # (B, J, 3)
+    w = jax.nn.softmax(ht * SOFTMAX_TEMP, axis=1)  # (B, P, J)
+    dis = kernel_size - ht * kernel_size  # (B, P, J)
+    # jt[b,j,:] = sum_p w*vec*dis + sum_p w*coords, computed WITHOUT the
+    # (B, P, J, 3) per-pixel-estimate tensor the naive spelling builds
+    # (352 MB of HBM traffic at B=512/F=64/J=14): the offset-walk term
+    # folds (w*dis) into channel space via a broadcast-reshape that XLA
+    # fuses into the reduction, and the coordinate term is one MXU
+    # batch-matmul.
+    dw3 = jnp.broadcast_to((w * dis)[..., None],
+                           (B, P, J, 3)).reshape(B, P, 3 * J)
+    term_vec = jnp.sum(v3 * dw3, axis=1).reshape(B, J, 3)
+    term_coord = jnp.einsum("bpj,bpa->bja", w, coords)
+    return term_vec + term_coord
 
 
 def on_tpu() -> bool:

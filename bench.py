@@ -83,7 +83,6 @@ def main():
     from awr_tpu.utils.profiling import flops_of
 
     cfg = resnet_config(18, compute_dtype="bfloat16")
-    on_tpu = jax.default_backend() == "tpu"
     model = build_model(cfg.net, cfg.jt_num, cfg.downsample,
                         dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0),
@@ -93,8 +92,10 @@ def main():
     def forward_decode(img):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           img[..., None], train=False)
+        # XLA-fused decode: measured faster than the Pallas kernel since
+        # the contraction rewrite (see Config.use_pallas comment)
         return decode_offsets(out, img, cfg.kernel_size,
-                              use_pallas=on_tpu)
+                              use_pallas=cfg.use_pallas)
 
     @jax.jit
     def chained(img):

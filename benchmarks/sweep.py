@@ -83,7 +83,7 @@ def run_infer(net: str, batch: int, dtype_name: str, img_size: int = 128,
                            train=True)
     p, bs = variables["params"], variables["batch_stats"]
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = cfg.use_pallas  # follow the measured-winner default
 
     @jax.jit
     def chained(x):
