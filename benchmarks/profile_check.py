@@ -1,0 +1,127 @@
+"""Profiler/latency cross-check for the headline bench (VERDICT r1-1d).
+
+Triangulates the chained-throughput methodology of bench.py with two
+independent measurements of the same jitted forward+decode:
+
+1. SYNCED SINGLE DISPATCHES: one call per fresh random batch, fully
+   host-synced (block + np.asarray) — an upper bound on per-batch wall
+   time that includes a full tunnel round-trip per call.
+2. A ``jax.profiler`` DEVICE TRACE of several chained calls, written to
+   --trace-dir (loadable in XProf/Perfetto/TensorBoard; its on-device op
+   times are the ground truth for where the microseconds go).
+
+Consistency requirement printed + asserted: the chained per-iteration
+time from bench.py's methodology must lie BELOW the synced per-call
+time (chaining amortizes dispatch) and within a small factor of it
+(else one of the harnesses is broken).
+
+Usage: python benchmarks/profile_check.py [--trace-dir runs/trace_r02]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+BATCH = 128
+IMG = 128
+INNER = 8
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--trace-dir", default="runs/trace_r02")
+    ap.add_argument("--synced-iters", type=int, default=12)
+    ap.add_argument("--chained-outer", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awr_tpu.config import resnet_config
+    from awr_tpu.models import build_model
+    from awr_tpu.ops.decode import decode_offsets
+
+    cfg = resnet_config(18, compute_dtype="bfloat16")
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample,
+                        dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, IMG, IMG, 1)), train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    @jax.jit
+    def infer(img):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          img[..., None], train=False)
+        return decode_offsets(out, img, cfg.kernel_size,
+                              use_pallas=cfg.use_pallas)
+
+    @jax.jit
+    def chained(img):
+        def body(carry, _):
+            jt = infer(carry)
+            return carry * 0.999999 + jnp.sum(jt) * 1e-9, jnp.sum(jt)
+        img_out, sums = jax.lax.scan(body, img, None, length=INNER)
+        return img_out, jnp.sum(sums)
+
+    salt = int.from_bytes(os.urandom(4), "little") / 2.0**32
+    rng = np.random.RandomState(0)
+
+    def fresh():
+        return jnp.asarray(
+            rng.uniform(-1, 1, (BATCH, IMG, IMG)).astype(np.float32)
+            + np.float32(salt * 1e-3))
+
+    # --- 1. synced single dispatches (fresh input per call) ---
+    acc = float(np.asarray(infer(fresh())).sum())  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(args.synced_iters):
+        acc += float(np.asarray(infer(fresh())).sum())
+    synced_ms = (time.perf_counter() - t0) / args.synced_iters * 1e3
+    assert np.isfinite(acc)
+
+    # --- 2. chained methodology (bench.py's) ---
+    img, s = chained(fresh())
+    float(s)
+    t0 = time.perf_counter()
+    for _ in range(args.chained_outer):
+        img, s = chained(img)
+        acc += float(s)
+    chained_ms = ((time.perf_counter() - t0)
+                  / (args.chained_outer * INNER) * 1e3)
+
+    # --- 3. device trace of chained calls ---
+    os.makedirs(args.trace_dir, exist_ok=True)
+    with jax.profiler.trace(args.trace_dir):
+        img, s = chained(img)
+        float(s)
+    trace_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(args.trace_dir) for f in fs)
+
+    result = dict(
+        batch=BATCH,
+        synced_ms_per_batch=round(synced_ms, 3),
+        chained_ms_per_batch=round(chained_ms, 3),
+        dispatch_overhead_ms=round(synced_ms - chained_ms, 3),
+        chained_fps=round(BATCH / chained_ms * 1e3, 1),
+        synced_fps=round(BATCH / synced_ms * 1e3, 1),
+        trace_dir=args.trace_dir,
+        trace_bytes=trace_bytes,
+    )
+    print(json.dumps(result))
+    # chaining must help, and both harnesses must agree within ~4x
+    assert chained_ms <= synced_ms * 1.1, result
+    assert synced_ms <= chained_ms * 4.0, result
+    assert trace_bytes > 10_000, "profiler trace not captured"
+
+
+if __name__ == "__main__":
+    main()
