@@ -45,7 +45,7 @@ def _bwd(kernel_size, interpret, res, g):
 _decode_pallas_vjp.defvjp(_fwd, _bwd)
 
 
-def decode_offsets(offset, img, kernel_size, use_pallas: bool = True,
+def decode_offsets(offset, img, kernel_size, use_pallas: bool = False,
                    mesh=None, interpret: bool = False):
     """(B, F, F, 4J) dense map + (B, H, W) depth -> (B, J, 3) joints.
 

@@ -18,7 +18,7 @@ from awr_tpu.ops.functional import joint2offset, on_tpu
 
 
 def encode_offsets(jt_uvd, img, kernel_size, feature_size,
-                   use_pallas: bool = True, mesh=None,
+                   use_pallas: bool = False, mesh=None,
                    interpret: bool = False):
     """(B, J, 3) joints + (B, H, W) depth -> (B, F, F, 4J) GT field."""
     if use_pallas and (on_tpu() or interpret):

@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=125)
     ap.add_argument("--train-size", type=int, default=512)
     ap.add_argument("--test-size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--coord-weight", type=float, default=0.0,
+                    help="direct joint-coordinate loss weight (the "
+                         "reference exposes coord_weight, config.py:41; "
+                         "the hourglass needs it on this task — the "
+                         "dense-only signal collapses at lr 1e-3)")
     ap.add_argument("--out", default="runs/convergence_r02.json")
     ap.add_argument("--workdir", default="runs/r02_convergence")
     args = ap.parse_args()
@@ -44,7 +50,8 @@ def main():
     ks = 1.0 if args.net.startswith("resnet") else 0.4
     cfg = Config(net=args.net, kernel_size=ks, img_size=128,
                  batch_size=32, vis_freq=0, print_freq=1000,
-                 max_epoch=args.epochs, step=100,
+                 max_epoch=args.epochs, step=100, lr=args.lr,
+                 coord_weight=args.coord_weight,
                  exp_id=f"convergence_{args.net}",
                  ckpt_max_to_keep=2)
     train = SyntheticHandDataset(args.train_size, cfg.jt_num, 128,

@@ -165,7 +165,7 @@ def run_train_one(net: str, batch: int, dtype_name: str,
 
     ks = 1.0 if net.startswith("resnet") else 0.4
     cfg = Config(net=net, kernel_size=ks, img_size=img_size,
-                 batch_size=batch, vis_freq=0, use_pallas=True,
+                 batch_size=batch, vis_freq=0,
                  print_freq=10**9, compute_dtype=dtype_name,
                  matmul_precision="default")
     ds = SyntheticHandDataset(min(batch, 64), cfg.jt_num, img_size,
