@@ -1,0 +1,208 @@
+"""Post-training int8 quantization for the inference path.
+
+Beyond-reference capability (the reference runs fp32 CUDA only): the
+TPU v5e MXU has 2x the int8 throughput of bf16 (394 TOPS vs 197
+TFLOPS), so a quantized forward can beat the bf16 speed-of-light
+ceiling documented in BENCH_NOTES_r02.md.  Scheme:
+
+- **Weights**: symmetric per-output-channel int8, scales derived from
+  the fp32 params at trace time (no separate weight checkpoint — the
+  rounding is part of the compiled graph, so XLA constant-folds it
+  when params are donated/frozen buffers).
+- **Activations**: symmetric per-tensor int8 with a static scale
+  recorded by a calibration pass (running max of |x| over calibration
+  batches, stored in a ``quant`` flax collection).
+- **Math**: ``conv(int8, int8) -> int32`` on the MXU, dequantized with
+  ``s_in * s_w[oc]`` back to the compute dtype; BatchNorm / ReLU /
+  residual adds stay in the compute dtype.
+
+The modules below keep the SAME param-tree layout as ``nn.Conv`` /
+``nn.ConvTranspose`` (a ``kernel`` param under the same module name),
+so any trained or torch-imported checkpoint loads into the quantized
+model unchanged; only the ``quant`` collection is new.
+
+Modes (``quant_mode`` on the backbone):
+- ``"off"``   — plain fp/bf16 conv; no quant variables exist.
+- ``"calib"`` — fp forward that records per-layer max|activation| into
+  the mutable ``quant`` collection (``mutable=["quant"]``).
+- ``"int8"``  — quantized forward using the calibrated scales.
+
+Usage: see :func:`calibrate` and tests/test_quant.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+QUANT_COL = "quant"
+_QMAX = 127.0
+
+
+def _quantize_weights(kernel: jax.Array, axes: Tuple[int, ...]):
+    """Symmetric per-output-channel int8: returns (int8 kernel, scales).
+
+    ``axes`` are the kernel axes to reduce over (everything except the
+    output-channel axis).
+    """
+    k32 = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k32), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax / _QMAX, 1e-12)
+    q = jnp.clip(jnp.round(k32 / scale), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, scale
+
+
+def _quantize_acts(x: jax.Array, scale: jax.Array):
+    """Symmetric per-tensor int8 with a precomputed (calibrated) scale."""
+    s = jnp.maximum(scale, 1e-12).astype(jnp.float32)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -_QMAX, _QMAX)
+    return q.astype(jnp.int8), s
+
+
+class QuantConv(nn.Module):
+    """``nn.Conv``-compatible conv with optional int8 quantization.
+
+    Param tree: ``{kernel[, bias]}`` exactly like ``nn.Conv`` with the
+    same name, so checkpoints are interchangeable across modes.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = ((0, 0), (0, 0))
+    use_bias: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Any = jnp.float32
+    mode: str = "off"  # 'off' | 'calib' | 'int8'
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kshape = (kh, kw, x.shape[-1], self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape)
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+
+        if self.mode == "off":
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            act_scale = self.variable(
+                QUANT_COL, "act_scale",
+                lambda: jnp.zeros((), jnp.float32))
+            if self.mode == "calib":
+                if not self.is_initializing():
+                    act_scale.value = jnp.maximum(
+                        act_scale.value,
+                        jnp.max(jnp.abs(x.astype(jnp.float32))) / _QMAX)
+                y = lax.conv_general_dilated(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    self.strides, self.padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            elif self.mode == "int8":
+                xq, s_in = _quantize_acts(x, act_scale.value)
+                wq, s_w = _quantize_weights(kernel, (0, 1, 2))
+                acc = lax.conv_general_dilated(
+                    xq, wq, self.strides, self.padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = (acc.astype(jnp.float32)
+                     * (s_in * s_w[0, 0, 0, :])).astype(self.dtype)
+            else:
+                raise ValueError(f"unknown quant mode {self.mode!r}")
+
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class QuantConvTranspose(nn.Module):
+    """``nn.ConvTranspose(transpose_kernel=True)``-compatible deconv.
+
+    Mirrors the reference decoder's torch ``ConvTranspose2d(k4, s2,
+    p1)`` (reference resnet_deconv.py:73-91) exactly like
+    ``models/resnet.py`` does, with the torch (in, out) kernel layout
+    preserved in the params (``transpose_kernel=True`` semantics:
+    kernel shape (kh, kw, OUT, IN), spatially flipped lhs-dilated
+    conv).  Output-channel axis for weight scales is axis 2.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (4, 4)
+    strides: Tuple[int, int] = (2, 2)
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+    mode: str = "off"
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        # flax ConvTranspose(transpose_kernel=True) params: (kh,kw,out,in)
+        kshape = (kh, kw, self.features, x.shape[-1])
+        kernel = self.param("kernel", self.kernel_init, kshape)
+
+        def deconv(lhs, kern, prefer=None):
+            # 'SAME' padding of flax ConvTranspose at k4/s2 == torch
+            # ConvTranspose2d(k4, s2, p1): lhs-dilated conv with the
+            # spatially-flipped kernel, pad (k-1-p)=2 then trim per
+            # SAME sizing (out = in*stride exactly for k4/s2/p1).
+            flipped = jnp.flip(kern, axis=(0, 1))  # (kh,kw,out,in)
+            hwio = flipped.transpose(0, 1, 3, 2)   # (kh,kw,in,out)
+            return lax.conv_general_dilated(
+                lhs, hwio, window_strides=(1, 1),
+                padding=((kh - 2, kh - 2), (kw - 2, kw - 2)),
+                lhs_dilation=self.strides,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=prefer)
+
+        if self.mode == "off":
+            return deconv(x.astype(self.dtype), kernel.astype(self.dtype))
+
+        act_scale = self.variable(
+            QUANT_COL, "act_scale", lambda: jnp.zeros((), jnp.float32))
+        if self.mode == "calib":
+            if not self.is_initializing():
+                act_scale.value = jnp.maximum(
+                    act_scale.value,
+                    jnp.max(jnp.abs(x.astype(jnp.float32))) / _QMAX)
+            return deconv(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.mode == "int8":
+            xq, s_in = _quantize_acts(x, act_scale.value)
+            wq, s_w = _quantize_weights(kernel, (0, 1, 3))  # out axis = 2
+            acc = deconv(xq, wq, prefer=jnp.int32)
+            return (acc.astype(jnp.float32)
+                    * (s_in * s_w[0, 0, :, 0])).astype(self.dtype)
+        raise ValueError(f"unknown quant mode {self.mode!r}")
+
+
+def calibrate(model, params, batch_stats, batches: Sequence[jax.Array],
+              train: bool = False):
+    """Run calibration batches through a ``quant_mode='calib'`` model.
+
+    ``batches``: iterable of (B, H, W) normalized depth images (same
+    input convention as the backbone, pre-``[..., None]``).  Returns
+    the calibrated ``quant`` collection (per-layer activation scales =
+    running max |x| / 127).
+    """
+    quant = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1,) + batches[0].shape[1:] + (1,)),
+                       train=False)[QUANT_COL]
+
+    @jax.jit
+    def step(quant, img):
+        _, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats,
+             QUANT_COL: quant},
+            img[..., None], train=train, mutable=[QUANT_COL])
+        return mut[QUANT_COL]
+
+    for img in batches:
+        quant = step(quant, jnp.asarray(img))
+    return quant

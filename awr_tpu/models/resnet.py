@@ -38,8 +38,23 @@ RESNET_SPECS = {
 }
 
 
-def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
+          quant_mode="off"):
     pad = (kernel - 1) // 2
+    if quant_mode != "off":
+        from awr_tpu.models.quant import QuantConv
+
+        return QuantConv(
+            features,
+            (kernel, kernel),
+            strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=False,
+            kernel_init=he_fanout_normal(),
+            dtype=dtype,
+            mode=quant_mode,
+            name=name,
+        )
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -58,20 +73,23 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    quant_mode: str = "off"
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = _conv(self.planes, 3, self.stride, "conv1", self.dtype)(x)
+        out = _conv(self.planes, 3, self.stride, "conv1", self.dtype,
+                    self.quant_mode)(x)
         out = batch_norm(train, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, "conv2", self.dtype)(out)
+        out = _conv(self.planes, 3, 1, "conv2", self.dtype,
+                    self.quant_mode)(out)
         out = batch_norm(train, self.dtype, "bn2")(out)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             residual = _conv(
                 self.planes * self.expansion, 1, self.stride,
-                "downsample_conv", self.dtype,
+                "downsample_conv", self.dtype, self.quant_mode,
             )(x)
             residual = batch_norm(train, self.dtype, "downsample_bn")(residual)
         return nn.relu(out + residual)
@@ -83,23 +101,27 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    quant_mode: str = "off"
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = _conv(self.planes, 1, 1, "conv1", self.dtype)(x)
+        out = _conv(self.planes, 1, 1, "conv1", self.dtype,
+                    self.quant_mode)(x)
         out = batch_norm(train, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, self.stride, "conv2", self.dtype)(out)
+        out = _conv(self.planes, 3, self.stride, "conv2", self.dtype,
+                    self.quant_mode)(out)
         out = batch_norm(train, self.dtype, "bn2")(out)
         out = nn.relu(out)
-        out = _conv(self.planes * self.expansion, 1, 1, "conv3", self.dtype)(out)
+        out = _conv(self.planes * self.expansion, 1, 1, "conv3",
+                    self.dtype, self.quant_mode)(out)
         out = batch_norm(train, self.dtype, "bn3")(out)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             residual = _conv(
                 self.planes * self.expansion, 1, self.stride,
-                "downsample_conv", self.dtype,
+                "downsample_conv", self.dtype, self.quant_mode,
             )(x)
             residual = batch_norm(train, self.dtype, "downsample_bn")(residual)
         return nn.relu(out + residual)
@@ -113,6 +135,10 @@ class ResNetDeconv(nn.Module):
     layers: Sequence[int] = (2, 2, 2, 2)
     downsample: int = 2  # output stride in {1, 2, 4}
     dtype: jnp.dtype = jnp.float32
+    # Post-training int8 inference (models/quant.py): 'off' | 'calib' |
+    # 'int8'.  Param tree is identical across modes; the 1x1 heads stay
+    # in the compute dtype (they feed the mm-precision decode directly).
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -121,7 +147,7 @@ class ResNetDeconv(nn.Module):
         x = x.astype(self.dtype)
 
         # Stem (reference :31-36): conv5 s1 + BN + ReLU + maxpool3 s2 p1.
-        x = _conv(64, 5, 1, "pre_conv", self.dtype)(x)
+        x = _conv(64, 5, 1, "pre_conv", self.dtype, self.quant_mode)(x)
         x = batch_norm(train, self.dtype, "pre_bn")(x)
         x = nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)
@@ -135,23 +161,37 @@ class ResNetDeconv(nn.Module):
                     planes,
                     stride if i == 0 else 1,
                     self.dtype,
+                    self.quant_mode,
                     name=f"layer{stage}_{i}",
                 )(x, train)
 
         # Deconv decoder (reference :45-49, 73-91): /32 back up to /downsample.
         deconv_num = 4 - int(np.log2(self.downsample))
         for i in range(deconv_num):
-            x = nn.ConvTranspose(
-                256,
-                (4, 4),
-                strides=(2, 2),
-                padding="SAME",  # == torch ConvTranspose2d(k4, s2, p1)
-                use_bias=False,
-                transpose_kernel=True,  # torch (in,out,kh,kw) convention
-                kernel_init=normal_001(),
-                dtype=self.dtype,
-                name=f"deconv{i}",
-            )(x)
+            if self.quant_mode != "off":
+                from awr_tpu.models.quant import QuantConvTranspose
+
+                x = QuantConvTranspose(
+                    256,
+                    (4, 4),
+                    strides=(2, 2),
+                    kernel_init=normal_001(),
+                    dtype=self.dtype,
+                    mode=self.quant_mode,
+                    name=f"deconv{i}",
+                )(x)
+            else:
+                x = nn.ConvTranspose(
+                    256,
+                    (4, 4),
+                    strides=(2, 2),
+                    padding="SAME",  # == torch ConvTranspose2d(k4, s2, p1)
+                    use_bias=False,
+                    transpose_kernel=True,  # torch (in,out,kh,kw) convention
+                    kernel_init=normal_001(),
+                    dtype=self.dtype,
+                    name=f"deconv{i}",
+                )(x)
             x = batch_norm(train, self.dtype, f"deconv_bn{i}")(x)
             x = nn.relu(x)
 
@@ -167,7 +207,7 @@ class ResNetDeconv(nn.Module):
 
 
 def get_deconv_net(layers: int, joint_num: int, downsample: int,
-                   dtype=jnp.float32) -> ResNetDeconv:
+                   dtype=jnp.float32, quant_mode="off") -> ResNetDeconv:
     """Factory matching reference resnet_deconv.py:8-16."""
     block, layer_sizes = RESNET_SPECS[layers]
     return ResNetDeconv(
@@ -176,4 +216,5 @@ def get_deconv_net(layers: int, joint_num: int, downsample: int,
         layers=layer_sizes,
         downsample=downsample,
         dtype=dtype,
+        quant_mode=quant_mode,
     )

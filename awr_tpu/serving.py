@@ -71,6 +71,35 @@ class Predictor:
                                              downsample=config.downsample)
         return cls(config, variables, **kw)
 
+    # ------------------------------------------------------ quantization
+    def quantize(self, calib_imgs_normalized) -> None:
+        """Switch this Predictor to int8 inference (models/quant.py).
+
+        ``calib_imgs_normalized``: (N, S, S) normalized depth frames
+        (same convention as :meth:`predict_normalized` input) used to
+        calibrate per-layer activation scales.  The loaded weights are
+        reused unchanged; only the forward graph changes.  v5e MXU int8
+        peak is 2x bf16 — see BENCH_NOTES for measured throughput.
+        """
+        from awr_tpu.models.quant import calibrate
+
+        imgs = np.asarray(calib_imgs_normalized, np.float32)
+        if imgs.ndim != 3:
+            raise ValueError(f"expected (N, S, S) frames, got {imgs.shape}")
+        cal_model = build_model(self.cfg.net, self.cfg.jt_num,
+                                self.cfg.downsample,
+                                dtype=DTYPES[self.cfg.compute_dtype],
+                                quant_mode="calib")
+        batches = [imgs[i:i + 32] for i in range(0, len(imgs), 32)]
+        self.quant = calibrate(cal_model, self.params, self.batch_stats,
+                               batches)
+        self.model = build_model(self.cfg.net, self.cfg.jt_num,
+                                 self.cfg.downsample,
+                                 dtype=DTYPES[self.cfg.compute_dtype],
+                                 quant_mode="int8")
+        self._infer = jax.jit(make_infer_step(self.model, self.cfg,
+                                              quant=self.quant))
+
     # --------------------------------------------------------- inference
     @staticmethod
     def _bucket(n: int) -> int:

@@ -206,15 +206,21 @@ def make_raw_eval_step(model, cfg, paras, flip: int, mesh=None):
     return raw_eval_step
 
 
-def make_infer_step(model, cfg, mesh=None):
-    """Forward + decode only (throughput path; bf16-able)."""
+def make_infer_step(model, cfg, mesh=None, quant=None):
+    """Forward + decode only (throughput path; bf16- and int8-able).
+
+    ``quant``: calibrated activation-scale collection for a
+    ``quant_mode='int8'`` model (models/quant.py).  Closed over rather
+    than passed per call — the scales are tiny scalars and XLA
+    constant-folds them into the quantize ops.
+    """
     kernel = cfg.kernel_size
 
     def infer_step(params, batch_stats, img):
-        out = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            img[..., None], train=False,
-        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        out = model.apply(variables, img[..., None], train=False)
         preds = _stacked(out)
         return decode_offsets(preds[-1], img, kernel,
                               use_pallas=cfg.use_pallas, mesh=mesh)

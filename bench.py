@@ -46,10 +46,14 @@ import time
 # reproducible; we keep the HIGHER (conservative-for-us) measurement.
 PYTORCH_CPU_FPS = 9.59
 
-BATCH = 128
+# Tunable via env for sweeps (defaults are the recorded headline config).
+BATCH = int(os.environ.get("AWR_BENCH_BATCH", 128))
 IMG = 128
-INNER = 8     # serial forward+decode iterations per jitted call
-OUTER = 6     # host-synced calls per timed measurement
+# serial forward+decode iterations per jitted call; more iterations
+# amortize the per-dispatch tunnel round-trip (~26 ms/call measured in
+# BENCH_NOTES_r02.md) toward the pure device time.
+INNER = int(os.environ.get("AWR_BENCH_INNER", 8))
+OUTER = int(os.environ.get("AWR_BENCH_OUTER", 6))
 WARMUP = 2
 
 # bf16 systolic-array peak per chip, by device_kind substring.  Used only

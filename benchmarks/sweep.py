@@ -65,9 +65,11 @@ def _cfg_for(net: str):
 
 
 def run_infer(net: str, batch: int, dtype_name: str, img_size: int = 128,
-              outer: int = 5, use_pallas: bool | None = None):
+              outer: int = 5, use_pallas: bool | None = None,
+              quant: bool = False):
     """Forward + decode throughput (the reference eval loop's device
-    math, test.py:67-97)."""
+    math, test.py:67-97).  ``quant=True`` times the post-training int8
+    path (models/quant.py; v5e int8 MXU peak is 2x bf16)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -77,19 +79,34 @@ def run_infer(net: str, batch: int, dtype_name: str, img_size: int = 128,
 
     cfg = _cfg_for(net)
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    model = build_model(cfg.net, cfg.jt_num, cfg.downsample, dtype=dtype)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, img_size, img_size, 1)),
-                           train=True)
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample, dtype=dtype,
+                        quant_mode="int8" if quant else "off")
+    variables = build_model(
+        cfg.net, cfg.jt_num, cfg.downsample, dtype=dtype,
+    ).init(jax.random.PRNGKey(0),
+           jnp.zeros((1, img_size, img_size, 1)), train=True)
     p, bs = variables["params"], variables["batch_stats"]
     if use_pallas is None:
         use_pallas = cfg.use_pallas  # follow the measured-winner default
 
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (batch, img_size, img_size))
+                    .astype(np.float32) + np.float32(_salt() * 1e-3))
+
+    extra = {}
+    if quant:
+        from awr_tpu.models.quant import calibrate
+
+        cal = build_model(cfg.net, cfg.jt_num, cfg.downsample,
+                          dtype=dtype, quant_mode="calib")
+        extra["quant"] = calibrate(cal, p, bs, [np.asarray(x)])
+
     @jax.jit
     def chained(x):
         def body(carry, _):
-            out = model.apply({"params": p, "batch_stats": bs},
-                              carry[..., None], train=False)
+            out = model.apply(
+                {"params": p, "batch_stats": bs, **extra},
+                carry[..., None], train=False)
             if out.ndim == 5:
                 out = out[-1]
             jt = decode_offsets(out, carry, cfg.kernel_size,
@@ -98,11 +115,9 @@ def run_infer(net: str, batch: int, dtype_name: str, img_size: int = 128,
         x_out, sums = jax.lax.scan(body, x, None, length=INNER)
         return x_out, jnp.sum(sums)
 
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.uniform(-1, 1, (batch, img_size, img_size))
-                    .astype(np.float32) + np.float32(_salt() * 1e-3))
     per_iter, ratio = _measure(chained, x, outer)
-    return dict(net=net, batch=batch, dtype=dtype_name, mode="infer",
+    return dict(net=net, batch=batch,
+                dtype="int8" if quant else dtype_name, mode="infer",
                 decode="pallas" if use_pallas else "xla",
                 ms_per_batch=round(per_iter * 1e3, 3),
                 frames_per_sec=round(batch / per_iter, 1),
@@ -210,6 +225,9 @@ def main():
                     help="decode-only Pallas-vs-XLA comparison")
     ap.add_argument("--compare-decode", action="store_true",
                     help="run infer rows with BOTH decode spellings")
+    ap.add_argument("--int8", action="store_true",
+                    help="also run post-training-int8 infer rows "
+                         "(resnet family only)")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
     if args.decode:
@@ -225,6 +243,9 @@ def main():
                                            use_pallas=False)))
             else:
                 print(json.dumps(run_infer(net.strip(), b, args.dtype)))
+            if args.int8 and net.strip().startswith("resnet"):
+                print(json.dumps(run_infer(net.strip(), b, args.dtype,
+                                           quant=True)))
             if args.train:
                 print(json.dumps(run_train_one(net.strip(), b,
                                                args.dtype)))

@@ -1,0 +1,126 @@
+"""Post-training int8 inference (awr_tpu/models/quant.py).
+
+Beyond-reference capability (reference is fp32 CUDA only); the bar is
+our own contract: identical param trees across quant modes, fp-exact
+'calib' forward, a quantized forward whose decoded joints stay close to
+the fp32 forward, and working calibration.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from awr_tpu.models import build_model
+from awr_tpu.models.quant import (
+    QuantConv,
+    QuantConvTranspose,
+    calibrate,
+)
+from awr_tpu.ops.functional import offset2joint_softmax
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tree_shapes(t):
+    return jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), t)
+
+
+def test_quantconv_fp_path_matches_nn_conv():
+    """'calib' (fp) QuantConv == nn.Conv bit-for-bit, same params."""
+    x = jax.random.normal(KEY, (2, 16, 16, 8))
+    ref = nn.Conv(12, (3, 3), strides=(2, 2),
+                  padding=((1, 1), (1, 1)), use_bias=False)
+    qc = QuantConv(12, (3, 3), strides=(2, 2),
+                   padding=((1, 1), (1, 1)), use_bias=False, mode="calib")
+    vref = ref.init(KEY, x)
+    vq = qc.init(KEY, x)
+    y_ref = ref.apply(vref, x)
+    y_q, _ = qc.apply({"params": vref["params"], "quant": vq["quant"]},
+                      x, mutable=["quant"])
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_q))
+
+
+def test_quantconvtranspose_fp_path_matches_nn_convtranspose():
+    """The hand-rolled lhs-dilated deconv == flax ConvTranspose(SAME,
+    transpose_kernel=True), the decoder used by models/resnet.py."""
+    x = jax.random.normal(KEY, (2, 8, 8, 16))
+    ref = nn.ConvTranspose(12, (4, 4), strides=(2, 2), padding="SAME",
+                           use_bias=False, transpose_kernel=True)
+    qc = QuantConvTranspose(12, (4, 4), strides=(2, 2), mode="calib")
+    vref = ref.init(KEY, x)
+    vq = qc.init(KEY, x)
+    y_ref = ref.apply(vref, x)
+    y_q, _ = qc.apply({"params": vref["params"], "quant": vq["quant"]},
+                      x, mutable=["quant"])
+    assert y_q.shape == y_ref.shape == (2, 16, 16, 12)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_q),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_param_tree_identical_across_modes():
+    """A trained fp checkpoint loads into the int8 model unchanged."""
+    img = jnp.zeros((1, 64, 64, 1))
+    off = build_model("resnet_18", 14).init(KEY, img, train=False)
+    q8 = build_model("resnet_18", 14, quant_mode="int8").init(
+        KEY, img, train=False)
+    assert tree_shapes(off["params"]) == tree_shapes(q8["params"])
+    assert tree_shapes(off["batch_stats"]) == tree_shapes(q8["batch_stats"])
+    assert "quant" in q8 and "quant" not in off
+
+
+def test_calibration_records_positive_scales():
+    model = build_model("resnet_18", 14, quant_mode="calib")
+    img = jnp.zeros((1, 64, 64, 1))
+    v = model.init(KEY, img, train=False)
+    batches = [np.random.RandomState(i).uniform(
+        -1, 1, (2, 64, 64)).astype(np.float32) for i in range(2)]
+    quant = calibrate(model, v["params"], v["batch_stats"], batches)
+    scales = jax.tree_util.tree_leaves(quant)
+    assert scales and all(float(s) > 0 for s in scales)
+
+
+def test_int8_forward_joints_close_to_fp32():
+    """Decoded joints from the int8 forward track the fp32 forward.
+
+    Random-init net on random depth frames; joints live in the
+    normalized [-1, 1] uvd cube, so atol here is in cube units."""
+    jt_num = 14
+    fp = build_model("resnet_18", jt_num)
+    cal = build_model("resnet_18", jt_num, quant_mode="calib")
+    q8 = build_model("resnet_18", jt_num, quant_mode="int8")
+
+    img = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (2, 64, 64)).astype(np.float32))
+    v = fp.init(KEY, img[..., None], train=False)
+    params, bs = v["params"], v["batch_stats"]
+
+    quant = calibrate(cal, params, bs, [np.asarray(img)])
+
+    out_fp = fp.apply({"params": params, "batch_stats": bs},
+                      img[..., None], train=False)
+    out_q8 = q8.apply({"params": params, "batch_stats": bs,
+                       "quant": quant}, img[..., None], train=False)
+    assert out_q8.shape == out_fp.shape
+    assert out_q8.dtype == out_fp.dtype
+
+    jt_fp = offset2joint_softmax(out_fp, img, 1.0)
+    jt_q8 = offset2joint_softmax(out_q8, img, 1.0)
+    err = float(jnp.max(jnp.abs(jt_fp - jt_q8)))
+    assert err < 0.05, f"int8 joint drift {err:.4f} cube units"
+
+
+def test_int8_without_calibration_guards_div_by_zero():
+    """Uncalibrated (zero) act scales must not produce NaNs."""
+    q8 = build_model("resnet_18", 14, quant_mode="int8")
+    img = jnp.asarray(np.random.RandomState(1).uniform(
+        -1, 1, (1, 64, 64)).astype(np.float32))
+    v = q8.init(KEY, img[..., None], train=False)
+    out = q8.apply(v, img[..., None], train=False)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_hourglass_quant_rejected():
+    with pytest.raises(ValueError):
+        build_model("hourglass_1", 14, quant_mode="int8")

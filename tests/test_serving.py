@@ -125,3 +125,28 @@ def test_predict_bucketing_batch_invariance(tmp_path):
     out3 = pred.predict_normalized(img[:3])       # bucket 8
     assert out11.shape == (11, cfg.jt_num, 3)
     np.testing.assert_allclose(out3, out11[:3], rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_quantize_int8(tmp_path):
+    """Predictor.quantize switches to the int8 forward with the same
+    weights; predictions stay close to the fp path (models/quant.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from awr_tpu.models import build_model
+
+    cfg = _cfg()
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 1)), train=True)
+    pred = Predictor(cfg, dict(variables))
+
+    g = np.random.RandomState(7)
+    frames = g.uniform(-1, 1, (4, 128, 128)).astype(np.float32)
+    fp = pred.predict_normalized(frames)
+
+    pred.quantize(frames)  # calibrate on the same distribution
+    q8 = pred.predict_normalized(frames)
+    assert q8.shape == fp.shape
+    # normalized uvd cube units; random-init net, loose-but-real gate
+    assert float(np.max(np.abs(q8 - fp))) < 0.05
