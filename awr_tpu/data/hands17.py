@@ -34,6 +34,10 @@ HANDS17_JOINTS = 21
 
 
 def decode_hands17_png(path: str) -> np.ndarray:
+    from awr_tpu.data import native_decode
+
+    if native_decode.HAVE_NATIVE:
+        return native_decode.decode_depth_png(path)
     img = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
     return np.asarray(img, np.float32)
 

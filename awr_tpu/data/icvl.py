@@ -32,7 +32,14 @@ ICVL_JOINTS = 16
 
 
 def decode_icvl_png(path: str) -> np.ndarray:
-    """ICVL ships 16-bit single-channel depth PNGs (mm)."""
+    """ICVL ships 16-bit single-channel depth PNGs (mm).
+
+    Native C++ decode when built (awr_tpu/_native handles 16-bit gray
+    directly; parity in tests/test_native.py), else cv2."""
+    from awr_tpu.data import native_decode
+
+    if native_decode.HAVE_NATIVE:
+        return native_decode.decode_depth_png(path)
     img = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
     return np.asarray(img, np.float32)
 

@@ -45,9 +45,15 @@ SECOND_SUBJECT_START = 2440
 def decode_depth_png(path: str) -> np.ndarray:
     """NYU PNG encoding: depth mm = blue + green * 256 (reference :71-74).
 
+    Uses the native C++ decoder (awr_tpu/_native, GIL-releasing; exact
+    parity asserted in tests/test_native.py) when built, else cv2.
     (Channels widened before the arithmetic: numpy 2 rejects the
     reference's uint8 * 256 under NEP 50 promotion.)
     """
+    from awr_tpu.data import native_decode
+
+    if native_decode.HAVE_NATIVE:
+        return native_decode.decode_depth_png(path)
     img = cv2.imread(path)
     return (img[:, :, 0].astype(np.float32)
             + img[:, :, 1].astype(np.float32) * 256.0)
