@@ -47,7 +47,9 @@ import time
 PYTORCH_CPU_FPS = 9.59
 
 # Tunable via env for sweeps (defaults are the recorded headline config).
-BATCH = int(os.environ.get("AWR_BENCH_BATCH", 128))
+# Batch 512 is the measured throughput-optimal point of the batch sweep
+# (benchmarks/sweep_r02_decode.jsonl: 512 > 128 > 32 fps on one chip).
+BATCH = int(os.environ.get("AWR_BENCH_BATCH", 512))
 IMG = 128
 # serial forward+decode iterations per jitted call; more iterations
 # amortize the per-dispatch tunnel round-trip (~26 ms/call measured in

@@ -214,17 +214,101 @@ def run_train_one(net: str, batch: int, dtype_name: str,
                 linearity=round(ratio, 2))
 
 
+def run_train_chained(net: str, batch: int, dtype_name: str,
+                      img_size: int = 128, outer: int = 4):
+    """Sustained train-step throughput: INNER serial train steps per
+    dispatch.
+
+    ``run_train_one`` host-syncs every step, so on this tunneled setup
+    it mostly measures the ~26 ms dispatch round-trip
+    (BENCH_NOTES_r02.md), not the device.  Here the optimizer state
+    chains through a ``lax.scan`` of full train steps (encode + forward
+    + backward + Adam, reference train.py:107-131) — no step can be
+    elided because the final params depend on every step — and each
+    step's input is perturbed by the previous loss, so the data also
+    chains serially.  This approximates a pipelined input feed (batches
+    staged on device), which is how the Trainer actually runs epochs."""
+    import functools
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awr_tpu.config import Config
+    from awr_tpu.data.synthetic import SyntheticHandDataset
+    from awr_tpu.training.steps import make_train_step
+    from awr_tpu.training.trainer import Trainer
+
+    ks = 1.0 if net.startswith("resnet") else 0.4
+    cfg = Config(net=net, kernel_size=ks, img_size=img_size,
+                 batch_size=batch, vis_freq=0,
+                 print_freq=10**9, compute_dtype=dtype_name,
+                 matmul_precision="default")
+    ds = SyntheticHandDataset(min(batch, 64), cfg.jt_num, img_size,
+                              phase="train", seed=0)
+    tr = Trainer(cfg, ds, workdir=tempfile.mkdtemp(prefix="awr_bench_"))
+    b, _ = tr._pad(next(ds.batches(min(batch, 64))))
+    reps = -(-batch // len(b["img"]))
+    b = {k: np.concatenate([v] * reps)[:batch] for k, v in b.items()}
+    b["img"] = b["img"] + np.float32(_salt() * 1e-3)
+    dev = tr._put(b)
+    step = make_train_step(tr.model, tr.optimizer, cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chained(state, batch):
+        def body(carry, _):
+            state, img = carry
+            state, m = step(state, {**batch, "img": img})
+            img = img * 0.999999 + m["loss"] * 1e-9
+            return (state, img), m["loss"]
+        (state, _), losses = jax.lax.scan(
+            body, (state, batch["img"]), None, length=INNER)
+        return state, jnp.sum(losses)
+
+    state = tr.state
+    state, s = chained(state, dev)
+    float(s)  # compile + warmup
+
+    def run(n, state):
+        acc = 0.0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, s = chained(state, dev)
+            acc += float(s)  # host materialization per dispatch
+        dt = time.perf_counter() - t0
+        assert np.isfinite(acc)
+        return dt, state
+
+    dt1, state = run(outer, state)
+    dt2, state = run(2 * outer, state)
+    ratio = dt2 / dt1
+    per_step = (dt1 + dt2) / (3 * outer * INNER)
+    tr.close()
+    return dict(net=net, batch=batch, dtype=dtype_name,
+                mode="train_chained",
+                ms_per_step=round(per_step * 1e3, 3),
+                frames_per_sec=round(batch / per_step, 1),
+                linearity=round(ratio, 2))
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--nets", default="resnet_18,hourglass_1")
     ap.add_argument("--batches", default="32,128,512")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--train", action="store_true",
-                    help="also time full train steps")
+                    help="also time full train steps (host-synced "
+                         "per step: includes dispatch round-trip)")
+    ap.add_argument("--train-chained", action="store_true",
+                    help="also time sustained train steps (INNER "
+                         "serial steps per dispatch; device-bound)")
     ap.add_argument("--decode", action="store_true",
                     help="decode-only Pallas-vs-XLA comparison")
     ap.add_argument("--compare-decode", action="store_true",
                     help="run infer rows with BOTH decode spellings")
+    ap.add_argument("--skip-infer", action="store_true",
+                    help="skip the default infer rows (train-only runs)")
     ap.add_argument("--int8", action="store_true",
                     help="also run post-training-int8 infer rows "
                          "(resnet family only)")
@@ -241,7 +325,7 @@ def main():
                                            use_pallas=True)))
                 print(json.dumps(run_infer(net.strip(), b, args.dtype,
                                            use_pallas=False)))
-            else:
+            elif not args.skip_infer:
                 print(json.dumps(run_infer(net.strip(), b, args.dtype)))
             if args.int8 and net.strip().startswith("resnet"):
                 print(json.dumps(run_infer(net.strip(), b, args.dtype,
@@ -249,6 +333,9 @@ def main():
             if args.train:
                 print(json.dumps(run_train_one(net.strip(), b,
                                                args.dtype)))
+            if args.train_chained:
+                print(json.dumps(run_train_chained(net.strip(), b,
+                                                   args.dtype)))
 
 
 if __name__ == "__main__":
