@@ -17,8 +17,7 @@ def build_model(net: str, joint_num: int, downsample: int = 2,
     """Net-string factory (reference train.py:51-57, test.py:37-42).
 
     ``quant_mode`` ('off' | 'calib' | 'int8'): post-training int8
-    inference (models/quant.py; ResNet family only — the hourglass
-    keeps fp/bf16).
+    inference (models/quant.py), both families.
     """
     import jax.numpy as jnp
 
@@ -28,9 +27,7 @@ def build_model(net: str, joint_num: int, downsample: int = 2,
         return get_deconv_net(layers, joint_num, downsample, dtype=dtype,
                               quant_mode=quant_mode)
     if net.startswith("hourglass"):
-        if quant_mode != "off":
-            raise ValueError("int8 quantization is implemented for the "
-                             "resnet family only")
         nstack = int(net.split("_")[1])
-        return PoseNet(nstack=nstack, joint_num=joint_num, dtype=dtype)
+        return PoseNet(nstack=nstack, joint_num=joint_num, dtype=dtype,
+                       quant_mode=quant_mode)
     raise ValueError(f"unknown net {net!r}")

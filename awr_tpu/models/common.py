@@ -62,18 +62,39 @@ def torch_conv_bias_init(kernel_shape):
 
 
 class TorchConv(nn.Module):
-    """Conv with torch-default init and explicit symmetric padding."""
+    """Conv with torch-default init and explicit symmetric padding.
+
+    ``quant_mode`` != 'off' swaps in :class:`awr_tpu.models.quant.
+    QuantConv` under the SAME param path ('Conv_0', identical
+    kernel/bias layout), so fp and int8 checkpoints stay
+    interchangeable (see models/quant.py)."""
 
     features: int
     kernel: int = 3
     stride: int = 1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x):
         pad = (self.kernel - 1) // 2
         kshape = (self.kernel, self.kernel, x.shape[-1], self.features)
+        if self.quant_mode != "off":
+            from awr_tpu.models.quant import QuantConv
+
+            return QuantConv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                use_bias=self.use_bias,
+                kernel_init=torch_conv_kernel_init(),
+                bias_init=torch_conv_bias_init(kshape),
+                dtype=self.dtype,
+                mode=self.quant_mode,
+                name="Conv_0",
+            )(x)
         return nn.Conv(
             self.features,
             (self.kernel, self.kernel),

@@ -39,12 +39,13 @@ class ConvBlock(nn.Module):
     bn: bool = False
     relu: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchConv(
             self.features, self.kernel, self.stride, dtype=self.dtype,
-            name="conv",
+            quant_mode=self.quant_mode, name="conv",
         )(x)
         if self.bn:
             x = batch_norm(train, self.dtype, "bn")(x)
@@ -58,22 +59,27 @@ class Residual(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         half = self.features // 2
+        qm = self.quant_mode
         out = batch_norm(train, self.dtype, "bn1")(x)
         out = nn.relu(out)
-        out = TorchConv(half, 1, dtype=self.dtype, name="conv1")(out)
+        out = TorchConv(half, 1, dtype=self.dtype, quant_mode=qm,
+                        name="conv1")(out)
         out = batch_norm(train, self.dtype, "bn2")(out)
         out = nn.relu(out)
-        out = TorchConv(half, 3, dtype=self.dtype, name="conv2")(out)
+        out = TorchConv(half, 3, dtype=self.dtype, quant_mode=qm,
+                        name="conv2")(out)
         out = batch_norm(train, self.dtype, "bn3")(out)
         out = nn.relu(out)
-        out = TorchConv(self.features, 1, dtype=self.dtype, name="conv3")(out)
+        out = TorchConv(self.features, 1, dtype=self.dtype, quant_mode=qm,
+                        name="conv3")(out)
         if x.shape[-1] != self.features:
             skip = TorchConv(self.features, 1, dtype=self.dtype,
-                             name="skip")(x)
+                             quant_mode=qm, name="skip")(x)
         else:
             skip = x
         return out + skip
@@ -90,20 +96,23 @@ class HourglassBlock(nn.Module):
     features: int
     increase: int = 0
     dtype: jnp.dtype = jnp.float32
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f, nf = self.features, self.features + self.increase
-        up1 = Residual(f, self.dtype, name="up1")(x, train)
+        qm = self.quant_mode
+        up1 = Residual(f, self.dtype, qm, name="up1")(x, train)
         low = max_pool_torch(x, 2, 2, 0)
-        low = Residual(nf, self.dtype, name="low1")(low, train)
+        low = Residual(nf, self.dtype, qm, name="low1")(low, train)
         if self.n > 1:
             low = HourglassBlock(
-                self.n - 1, nf, dtype=self.dtype, name="low2"
+                self.n - 1, nf, dtype=self.dtype, quant_mode=qm,
+                name="low2",
             )(low, train)
         else:
-            low = Residual(nf, self.dtype, name="low2")(low, train)
-        low = Residual(f, self.dtype, name="low3")(low, train)
+            low = Residual(nf, self.dtype, qm, name="low2")(low, train)
+        low = Residual(f, self.dtype, qm, name="low3")(low, train)
         up2 = upsample_nearest_2x(low)
         return up1 + up2
 
@@ -116,28 +125,36 @@ class PoseNet(nn.Module):
     inp_dim: int = 256
     increase: int = 0
     dtype: jnp.dtype = jnp.float32
+    # post-training int8 ('off' | 'calib' | 'int8', models/quant.py).
+    # The bulk convs (stem, residuals, hourglass) quantize; the 1x1
+    # out_vec/out_ht regression heads and the inter-stack merges stay
+    # in the compute dtype (tiny FLOPs, precision-sensitive).
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, imgs, train: bool = False):
+        qm = self.quant_mode
         x = imgs.astype(self.dtype)
         # Stem (reference :111-118): overall downsample 2.
         x = ConvBlock(64, 5, 1, bn=True, relu=True, dtype=self.dtype,
-                      name="pre_conv")(x, train)
-        x = Residual(128, self.dtype, name="pre_res1")(x, train)
+                      quant_mode=qm, name="pre_conv")(x, train)
+        x = Residual(128, self.dtype, qm, name="pre_res1")(x, train)
         x = max_pool_torch(x, 2, 2, 0)
-        x = Residual(256, self.dtype, name="pre_res2")(x, train)
-        x = Residual(self.inp_dim, self.dtype, name="pre_res3")(x, train)
+        x = Residual(256, self.dtype, qm, name="pre_res2")(x, train)
+        x = Residual(self.inp_dim, self.dtype, qm,
+                     name="pre_res3")(x, train)
 
         preds = []
         for i in range(self.nstack):
             hg = HourglassBlock(
-                4, self.inp_dim, self.increase, self.dtype, name=f"hg{i}"
+                4, self.inp_dim, self.increase, self.dtype,
+                quant_mode=qm, name=f"hg{i}",
             )(x, train)
-            feature = Residual(self.inp_dim, self.dtype,
+            feature = Residual(self.inp_dim, self.dtype, qm,
                                name=f"feature_res{i}")(hg, train)
             feature = ConvBlock(
                 self.inp_dim, 1, bn=True, relu=True, dtype=self.dtype,
-                name=f"feature_conv{i}",
+                quant_mode=qm, name=f"feature_conv{i}",
             )(feature, train)
             vec = TorchConv(self.joint_num * 3, 1, dtype=self.dtype,
                             name=f"out_vec{i}")(feature)

@@ -101,7 +101,7 @@ def make_train_step(model, optimizer, cfg, mesh=None):
     return train_step
 
 
-def make_eval_step(model, cfg, mesh=None):
+def make_eval_step(model, cfg, mesh=None, quant=None):
     """Returns ``eval_step(params, batch_stats, batch) -> metrics`` with
     decoded joints + the same losses the reference reports in eval.
 
@@ -109,7 +109,10 @@ def make_eval_step(model, cfg, mesh=None):
     losses over every hourglass stack (test.py:74-87, one forward per
     stack there — one shared forward here, same math) while the metrics
     use the LAST stack's decoded joints (the loop leaves
-    ``jt_uvd_pred`` bound to the final stage)."""
+    ``jt_uvd_pred`` bound to the final stage).
+
+    ``quant``: calibrated activation scales for a ``quant_mode='int8'``
+    model (models/quant.py), closed over like in make_infer_step."""
     kernel = cfg.kernel_size
     feat = cfg.feature_size
     dense_w = cfg.dense_weight
@@ -118,10 +121,10 @@ def make_eval_step(model, cfg, mesh=None):
     def eval_step(params, batch_stats, batch):
         img = batch["img"]
         w = batch.get("w")
-        out = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            img[..., None], train=False,
-        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        out = model.apply(variables, img[..., None], train=False)
         preds = _stacked(out)
         offset_gt = encode_offsets(batch["jt_uvd"], img, kernel, feat,
                                    use_pallas=cfg.use_pallas, mesh=mesh)

@@ -41,6 +41,11 @@ def main():
                          "dense-only signal collapses at lr 1e-3)")
     ap.add_argument("--out", default="runs/convergence_r02.json")
     ap.add_argument("--workdir", default="runs/r02_convergence")
+    ap.add_argument("--int8-eval", action="store_true",
+                    help="after training, calibrate post-training int8 "
+                         "(models/quant.py) on train batches and report "
+                         "the int8 held-out MPE next to the fp one — "
+                         "the accuracy cost of the int8 speedup")
     args = ap.parse_args()
 
     from awr_tpu.config import Config
@@ -65,6 +70,32 @@ def main():
     tr.train()
     final_mpe = tr.best_records["MPE"]
     wall = time.time() - t0
+
+    int8_metrics = {}
+    if args.int8_eval:
+        # Accuracy cost of post-training int8 on the TRAINED weights:
+        # fp and int8 MPE of the same (final) state on the same split.
+        import jax
+
+        from awr_tpu.models import build_model
+        from awr_tpu.models.quant import calibrate
+        from awr_tpu.training.steps import make_eval_step
+
+        fp_final_mpe, _ = tr.test(epoch=-3)
+        cal = build_model(cfg.net, cfg.jt_num, cfg.downsample,
+                          quant_mode="calib")
+        calib_imgs = [b["img"] for b, _ in
+                      (tr._pad(x) for x in train.batches(32))][:4]
+        quant = calibrate(cal, tr.state.params, tr.state.batch_stats,
+                          calib_imgs)
+        q8 = build_model(cfg.net, cfg.jt_num, cfg.downsample,
+                         quant_mode="int8")
+        tr._eval_step = jax.jit(make_eval_step(q8, cfg, quant=quant))
+        int8_mpe, _ = tr.test(epoch=-2)
+        int8_metrics = dict(
+            final_state_fp_mpe_mm=round(float(fp_final_mpe), 3),
+            final_state_int8_mpe_mm=round(float(int8_mpe), 3),
+            int8_mpe_delta_mm=round(float(int8_mpe - fp_final_mpe), 3))
     tr.close()
 
     improvement = init_mpe / final_mpe
@@ -74,7 +105,7 @@ def main():
                   final_test_mpe_mm=round(float(final_mpe), 3),
                   improvement_x=round(float(improvement), 1),
                   best_epoch=tr.best_records["best_epoch"],
-                  wall_s=round(wall, 1))
+                  wall_s=round(wall, 1), **int8_metrics)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)

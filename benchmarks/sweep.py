@@ -310,8 +310,7 @@ def main():
     ap.add_argument("--skip-infer", action="store_true",
                     help="skip the default infer rows (train-only runs)")
     ap.add_argument("--int8", action="store_true",
-                    help="also run post-training-int8 infer rows "
-                         "(resnet family only)")
+                    help="also run post-training-int8 infer rows")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
     if args.decode:
@@ -327,7 +326,7 @@ def main():
                                            use_pallas=False)))
             elif not args.skip_infer:
                 print(json.dumps(run_infer(net.strip(), b, args.dtype)))
-            if args.int8 and net.strip().startswith("resnet"):
+            if args.int8:
                 print(json.dumps(run_infer(net.strip(), b, args.dtype,
                                            quant=True)))
             if args.train:

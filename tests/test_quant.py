@@ -121,6 +121,39 @@ def test_int8_without_calibration_guards_div_by_zero():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
-def test_hourglass_quant_rejected():
-    with pytest.raises(ValueError):
-        build_model("hourglass_1", 14, quant_mode="int8")
+def test_hourglass_param_tree_identical_across_modes():
+    """A trained fp hourglass checkpoint loads into the int8 model
+    unchanged (TorchConv keeps the 'Conv_0' param path in quant modes)."""
+    img = jnp.zeros((1, 64, 64, 1))
+    off = build_model("hourglass_1", 14).init(KEY, img, train=False)
+    q8 = build_model("hourglass_1", 14, quant_mode="int8").init(
+        KEY, img, train=False)
+    assert tree_shapes(off["params"]) == tree_shapes(q8["params"])
+    assert tree_shapes(off["batch_stats"]) == tree_shapes(q8["batch_stats"])
+    assert "quant" in q8 and "quant" not in off
+
+
+def test_hourglass_int8_forward_joints_close_to_fp32():
+    """Decoded joints from the int8 hourglass track the fp32 forward."""
+    jt_num = 14
+    fp = build_model("hourglass_1", jt_num)
+    cal = build_model("hourglass_1", jt_num, quant_mode="calib")
+    q8 = build_model("hourglass_1", jt_num, quant_mode="int8")
+
+    img = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (2, 64, 64)).astype(np.float32))
+    v = fp.init(KEY, img[..., None], train=False)
+    params, bs = v["params"], v["batch_stats"]
+
+    quant = calibrate(cal, params, bs, [np.asarray(img)])
+
+    out_fp = fp.apply({"params": params, "batch_stats": bs},
+                      img[..., None], train=False)[-1]
+    out_q8 = q8.apply({"params": params, "batch_stats": bs,
+                       "quant": quant}, img[..., None], train=False)[-1]
+    assert out_q8.shape == out_fp.shape
+
+    jt_fp = offset2joint_softmax(out_fp, img, 0.4)
+    jt_q8 = offset2joint_softmax(out_q8, img, 0.4)
+    err = float(jnp.max(jnp.abs(jt_fp - jt_q8)))
+    assert err < 0.05, f"int8 joint drift {err:.4f} cube units"
