@@ -100,6 +100,47 @@ class Predictor:
         self._infer = jax.jit(make_infer_step(self.model, self.cfg,
                                               quant=self.quant))
 
+    # ------------------------------------------------------------ export
+    def export_stablehlo(self, batch_size: int,
+                         path: Optional[str] = None,
+                         platforms=None) -> bytes:
+        """Serialize the forward+decode graph to portable StableHLO.
+
+        Production-serving artifact (beyond the reference, which has no
+        export story): the returned bytes are a versioned ``jax.export``
+        payload — StableHLO plus calling convention — that any later
+        process can run with ``jax.export.deserialize(payload).call(
+        img)`` WITHOUT this package's model code or a weights file: the
+        loaded params (and int8 calibration scales, if :meth:`quantize`
+        ran) are baked into the module as constants.
+
+        The exported entry point takes one (batch_size, img_size,
+        img_size) float32 normalized depth batch and returns
+        (batch_size, jt_num, 3) normalized uvd joints — i.e. exactly
+        :meth:`predict_normalized` without the bucketing.
+
+        ``platforms``: optional list such as ``("tpu", "cpu")`` to
+        lower for multiple targets; default is the current backend.
+        """
+        from jax import export as jax_export
+
+        params, batch_stats, infer = self.params, self.batch_stats, \
+            self._infer
+
+        def entry(img):
+            return infer(params, batch_stats, img)
+
+        spec = jax.ShapeDtypeStruct(
+            (batch_size, self.cfg.img_size, self.cfg.img_size),
+            jnp.float32)
+        exported = jax_export.export(
+            jax.jit(entry), platforms=platforms)(spec)
+        payload = exported.serialize()
+        if path:
+            with open(path, "wb") as fh:
+                fh.write(payload)
+        return payload
+
     # --------------------------------------------------------- inference
     @staticmethod
     def _bucket(n: int) -> int:

@@ -150,3 +150,59 @@ def test_predictor_quantize_int8(tmp_path):
     assert q8.shape == fp.shape
     # normalized uvd cube units; random-init net, loose-but-real gate
     assert float(np.max(np.abs(q8 - fp))) < 0.05
+
+
+def test_export_stablehlo_roundtrip(tmp_path):
+    """The exported StableHLO payload reproduces predict_normalized
+    after deserialization (to float ulps — the reloaded module re-fuses
+    independently) — no package code or weight file needed at load time
+    (weights are baked in as constants)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from awr_tpu.models import build_model
+
+    cfg = _cfg()
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 1)), train=True)
+    pred = Predictor(cfg, dict(variables))
+
+    path = str(tmp_path / "resnet18.stablehlo")
+    payload = pred.export_stablehlo(batch_size=8, path=path)
+    assert os.path.getsize(path) == len(payload) > 1000
+
+    img = np.random.RandomState(0).uniform(
+        -1, 1, (8, 128, 128)).astype(np.float32)
+    expected = pred.predict_normalized(img)
+
+    with open(path, "rb") as fh:
+        loaded = jax_export.deserialize(fh.read())
+    got = np.asarray(loaded.call(img))
+    assert got.shape == (8, cfg.jt_num, 3)
+    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-6)
+
+
+def test_export_stablehlo_int8(tmp_path):
+    """A quantized Predictor exports too: the calibrated scales and
+    int8 weight rounding are part of the serialized graph."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from awr_tpu.models import build_model
+
+    cfg = _cfg()
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 1)), train=True)
+    pred = Predictor(cfg, dict(variables))
+    img = np.random.RandomState(1).uniform(
+        -1, 1, (8, 128, 128)).astype(np.float32)
+    pred.quantize(img)
+    expected = pred.predict_normalized(img)
+
+    payload = pred.export_stablehlo(batch_size=8)
+    got = np.asarray(jax_export.deserialize(payload).call(img))
+    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-6)
