@@ -34,12 +34,97 @@ IMG = 128
 INNER = 8
 
 
+def profile_train(trace_dir: str, batch: int = 128, outer: int = 4):
+    """Chained-train-step trace + implied MFU (the training analog of
+    the inference triangulation): INNER serial full train steps
+    (encode + forward + backward + Adam) per dispatch, a device trace
+    of one chained call, and the XLA-cost-model FLOPs of a single step
+    so the implied MFU is printed alongside the wall number."""
+    import functools
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awr_tpu.config import Config
+    from awr_tpu.data.synthetic import SyntheticHandDataset
+    from awr_tpu.training.steps import make_train_step
+    from awr_tpu.training.trainer import Trainer
+    from awr_tpu.utils.profiling import flops_of
+
+    cfg = Config(net="resnet_18", kernel_size=1.0, img_size=IMG,
+                 batch_size=batch, vis_freq=0, print_freq=10**9,
+                 compute_dtype="bfloat16", matmul_precision="default")
+    ds = SyntheticHandDataset(min(batch, 64), cfg.jt_num, IMG,
+                              phase="train", seed=0)
+    tr = Trainer(cfg, ds, workdir=tempfile.mkdtemp(prefix="awr_prof_"))
+    b, _ = tr._pad(next(ds.batches(min(batch, 64))))
+    reps = -(-batch // len(b["img"]))
+    b = {k: np.concatenate([v] * reps)[:batch] for k, v in b.items()}
+    salt = int.from_bytes(os.urandom(4), "little") / 2.0**32
+    b["img"] = b["img"] + np.float32(salt * 1e-3)
+    dev = tr._put(b)
+    step = make_train_step(tr.model, tr.optimizer, cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chained(state, batch):
+        def body(carry, _):
+            state, img = carry
+            state, m = step(state, {**batch, "img": img})
+            return (state, img * 0.999999 + m["loss"] * 1e-9), m["loss"]
+        (state, _), losses = jax.lax.scan(
+            body, (state, batch["img"]), None, length=INNER)
+        return state, jnp.sum(losses)
+
+    state = tr.state
+    state, s = chained(state, dev)
+    float(s)  # compile + warmup
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(outer):
+        state, s = chained(state, dev)
+        acc += float(s)
+    ms_per_step = (time.perf_counter() - t0) / (outer * INNER) * 1e3
+    assert np.isfinite(acc)
+
+    os.makedirs(trace_dir, exist_ok=True)
+    with jax.profiler.trace(trace_dir):
+        state, s = chained(state, dev)
+        float(s)
+    trace_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(trace_dir) for f in fs)
+
+    fl = flops_of(lambda st, bt: step(st, bt), state, dev)
+    mfu = None
+    if fl:
+        mfu = round(fl / (ms_per_step * 1e-3) / 197e12, 4)
+    tr.close()
+    result = dict(mode="train", net="resnet_18", batch=batch,
+                  ms_per_step=round(ms_per_step, 3),
+                  train_fps=round(batch / ms_per_step * 1e3, 1),
+                  step_gflops=round(fl / 1e9, 1) if fl else None,
+                  implied_mfu=mfu, trace_dir=trace_dir,
+                  trace_bytes=trace_bytes)
+    print(json.dumps(result))
+    assert trace_bytes > 10_000, "profiler trace not captured"
+    if mfu is not None:
+        assert mfu < 1.0, result
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--trace-dir", default="runs/trace_r02")
     ap.add_argument("--synced-iters", type=int, default=12)
     ap.add_argument("--chained-outer", type=int, default=6)
+    ap.add_argument("--train", action="store_true",
+                    help="trace + MFU-check a chained TRAIN step "
+                         "instead of the inference path")
     args = ap.parse_args()
+    if args.train:
+        profile_train(args.trace_dir)
+        return
 
     import jax
     import jax.numpy as jnp
