@@ -38,10 +38,10 @@ def decode_icvl_png(path: str) -> np.ndarray:
     directly; parity in tests/test_native.py), else cv2."""
     from awr_tpu.data import native_decode
 
-    if native_decode.HAVE_NATIVE:
-        return native_decode.decode_depth_png(path)
-    img = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
-    return np.asarray(img, np.float32)
+    def _cv2(p):
+        return np.asarray(cv2.imread(p, cv2.IMREAD_ANYDEPTH), np.float32)
+
+    return native_decode.decode_or_fallback(path, "gray16", _cv2)
 
 
 class ICVLDataset(DepthDataset):

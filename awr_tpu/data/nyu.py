@@ -52,11 +52,12 @@ def decode_depth_png(path: str) -> np.ndarray:
     """
     from awr_tpu.data import native_decode
 
-    if native_decode.HAVE_NATIVE:
-        return native_decode.decode_depth_png(path)
-    img = cv2.imread(path)
-    return (img[:, :, 0].astype(np.float32)
-            + img[:, :, 1].astype(np.float32) * 256.0)
+    def _cv2(p):
+        img = cv2.imread(p)
+        return (img[:, :, 0].astype(np.float32)
+                + img[:, :, 1].astype(np.float32) * 256.0)
+
+    return native_decode.decode_or_fallback(path, "nyu", _cv2)
 
 
 class NYUDataset(DepthDataset):

@@ -191,9 +191,15 @@ def calibrate(model, params, batch_stats, batches: Sequence[jax.Array],
     the calibrated ``quant`` collection (per-layer activation scales =
     running max |x| / 127).
     """
-    quant = model.init(jax.random.PRNGKey(0),
-                       jnp.zeros((1,) + batches[0].shape[1:] + (1,)),
-                       train=False)[QUANT_COL]
+    # abstract init: materialize the zeroed quant collection without
+    # compiling (a real model.init would cost a full remote TPU compile
+    # whose output — all-zero scalar scales — is discarded)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1,) + batches[0].shape[1:] + (1,)),
+                           train=False))[QUANT_COL]
+    quant = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     @jax.jit
     def step(quant, img):

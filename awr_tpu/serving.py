@@ -160,6 +160,11 @@ class Predictor:
         pay a fresh compile).  Padding rows are discarded."""
         img_norm = np.asarray(img_norm, np.float32)
         n = len(img_norm)
+        if n == 0:
+            raise ValueError(
+                "empty batch: predict_normalized needs at least one "
+                "frame (a zero-row dispatch would compile a fresh "
+                "batch-0 executable)")
         bucket = self._bucket(n)
         if bucket != n:
             pad = np.repeat(img_norm[-1:], bucket - n, axis=0)

@@ -368,12 +368,18 @@ class Trainer:
         )
         try:
             restored = mgr.restore(epoch, template=template)
-        except Exception:
-            # legacy checkpoint without 'best_epoch' in best_records
+        except Exception as primary:
+            # legacy checkpoint without 'best_epoch' in best_records;
+            # if the legacy retry fails too, surface the ORIGINAL error
+            # (a corrupt checkpoint / shape mismatch should not be
+            # masked by a confusing legacy-template failure)
             legacy = dict(template, best_records={
                 k: v for k, v in self.best_records.items()
                 if k != "best_epoch"})
-            restored = mgr.restore(epoch, template=legacy)
+            try:
+                restored = mgr.restore(epoch, template=legacy)
+            except Exception:
+                raise primary
         self.state = TrainState(
             params=restored["params"],
             batch_stats=restored["batch_stats"],

@@ -148,23 +148,30 @@ def main():
     frames = BATCH * INNER * (OUTER + 2 * OUTER)
     fps = frames / (dt1 + dt2)
 
-    # MFU ceiling: refuse physically impossible numbers
+    # MFU ceiling: refuse physically impossible numbers.  The gate is
+    # MANDATORY — if the XLA cost model is unavailable we refuse to
+    # print an unguarded headline rather than silently skip the check
+    # (skipping is exactly the round-1 failure mode this exists for).
     fl = flops_of(forward_decode, img)  # FLOPs per chained-call batch
-    mfu = None
-    if fl:
-        flops_per_frame = fl / BATCH
-        peak = chip_peak(jax.devices()[0])
-        mfu = fps * flops_per_frame / peak
-        if mfu >= 1.0:
-            print(f"REFUSED: implied MFU {mfu:.1%} >= 100% of "
-                  f"{peak/1e12:.0f} TFLOPS peak "
-                  f"({flops_per_frame/1e9:.2f} GFLOP/frame x "
-                  f"{fps:.0f} fps); timing harness is broken",
-                  file=sys.stderr)
-            sys.exit(1)
-        print(f"sanity: {flops_per_frame/1e9:.2f} GFLOP/frame, "
-              f"implied MFU {mfu:.1%}, scaling ratio {ratio:.2f}",
+    if not fl:
+        print("REFUSED: XLA cost model returned no FLOP count "
+              "(utils/profiling.flops_of); cannot evaluate the MFU "
+              "ceiling, so no throughput number is printed",
               file=sys.stderr)
+        sys.exit(1)
+    flops_per_frame = fl / BATCH
+    peak = chip_peak(jax.devices()[0])
+    mfu = fps * flops_per_frame / peak
+    if mfu >= 1.0:
+        print(f"REFUSED: implied MFU {mfu:.1%} >= 100% of "
+              f"{peak/1e12:.0f} TFLOPS peak "
+              f"({flops_per_frame/1e9:.2f} GFLOP/frame x "
+              f"{fps:.0f} fps); timing harness is broken",
+              file=sys.stderr)
+        sys.exit(1)
+    print(f"sanity: {flops_per_frame/1e9:.2f} GFLOP/frame, "
+          f"implied MFU {mfu:.1%}, scaling ratio {ratio:.2f}",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "nyu_resnet18_infer_throughput_1chip",

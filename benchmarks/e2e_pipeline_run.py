@@ -50,7 +50,8 @@ def generate_nyu_on_disk(root: str, n_train: int, n_test: int,
     import cv2
     import scipy.io as sio
 
-    from awr_tpu.data.nyu import NYU_FLIP, NYU_PARAS
+    from awr_tpu.data.nyu import (EVAL_SELECT, JOINT_SELECT, NYU_FLIP,
+                                  NYU_PARAS)
     from awr_tpu.data.synthetic import render_hand_depth
     from awr_tpu.geometry import xyz2uvd_np
 
@@ -71,7 +72,11 @@ def generate_nyu_on_disk(root: str, n_train: int, n_test: int,
                                g.uniform(650, 950)])
             jt = center[None] + g.uniform(-70, 70, (36, 3))
             jt[:, 2] = center[2] + g.uniform(-50, 50, 36)
-            depth = render_hand_depth(center, jt[:14], NYU_PARAS)
+            # render the 14 joints NYUDataset actually supervises
+            # (36 -> 23 -> 14 selection, nyu.py JOINT_SELECT/EVAL_SELECT)
+            # so labels correlate with the visible geometry
+            jt14 = jt[JOINT_SELECT][EVAL_SELECT]
+            depth = render_hand_depth(center, jt14, NYU_PARAS)
             dep = depth.astype(np.uint16)
             img = np.zeros((*depth.shape, 3), np.uint8)
             img[:, :, 0] = (dep % 256).astype(np.uint8)
@@ -136,7 +141,7 @@ def train_loop_pass(tr, ds, epochs: int, batch_size: int,
     n_items = 0
     for ep in range(epochs):
         loader = PrefetchLoader(ds, batch_size, shuffle=True,
-                                num_workers=workers if raw_mode else 1,
+                                num_workers=workers,
                                 rng=np.random.RandomState(ep))
         t0 = time.time()
         last = None
@@ -177,11 +182,17 @@ def run_mode(mode: str, root: str, args) -> dict:
     ds = NYUDataset(root, "train", img_size=128, mode=mode)
     tr = Trainer(cfg, train_data=ds,
                  workdir=tempfile.mkdtemp(prefix=f"awr_e2e_{mode}_"))
+    # host mode must load single-threaded (the augmentation RandomState
+    # stream is sequential, trainer.py:212-219), so BOTH passes use the
+    # same effective worker count per mode — the ceiling and the loop
+    # must measure the same loader configuration for the ratio to mean
+    # anything
+    workers = args.workers if mode == "raw" else 1
     res = dict(mode=mode, native_decode=bool(native_decode.HAVE_NATIVE),
-               workers=args.workers, batch=args.batch, net=args.net)
-    res["loader_only"] = loader_only_pass(ds, args.batch, args.workers)
+               workers=workers, batch=args.batch, net=args.net)
+    res["loader_only"] = loader_only_pass(ds, args.batch, workers)
     res["train_loop"] = train_loop_pass(tr, ds, args.epochs, args.batch,
-                                        args.workers)
+                                        workers)
     host = res["loader_only"]["items_per_s"]
     e2e = res["train_loop"]["items_per_s"]
     res["e2e_over_host_ceiling"] = round(e2e / host, 3)

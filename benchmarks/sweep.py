@@ -24,9 +24,52 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 INNER = 4  # serial iterations per jitted call
 
+# bf16 systolic-array peak by device_kind substring (sanity ceiling
+# only); int8 rows use 2x (the v5e MXU int8 path).
+_CHIP_PEAKS = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+               "v5p": 459e12, "v6": 918e12}
+
 
 def _salt() -> float:
     return int.from_bytes(os.urandom(4), "little") / 2.0**32
+
+
+def _compiled_flops(jitted, *args, **kw):
+    """FLOPs (XLA cost model) of an ALREADY-compiled jitted call — the
+    lower/compile here hits jax's executable cache, so this is free."""
+    try:
+        analysis = jitted.lower(*args, **kw).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops")) if analysis else None
+    except Exception:
+        return None
+
+
+def _mfu_gate(per_iter_s: float, call_flops, iters_per_call: int,
+              dtype: str) -> float:
+    """Implied MFU of one inner iteration vs the chip's datasheet peak.
+
+    MANDATORY on every row (CLAUDE.md / BENCH_METHODOLOGY.md): raises —
+    refusing to emit the row — if the cost model is unavailable or the
+    implied MFU is >= 100% of peak (a broken-harness number, the round-1
+    failure mode)."""
+    import jax
+
+    if not call_flops:
+        raise RuntimeError(
+            "XLA cost model returned no FLOP count; refusing to emit an "
+            "MFU-ungated sweep row")
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    peak = next((v for k, v in _CHIP_PEAKS.items() if k in kind), 197e12)
+    if dtype == "int8":
+        peak *= 2.0
+    mfu = (call_flops / iters_per_call) / per_iter_s / peak
+    if mfu >= 1.0:
+        raise RuntimeError(
+            f"implied MFU {mfu:.1%} >= 100% of {peak / 1e12:.0f} "
+            f"TFLOPS peak; timing harness is broken, row refused")
+    return round(mfu, 4)
 
 
 def _measure(chained, img, outer: int):
@@ -116,12 +159,15 @@ def run_infer(net: str, batch: int, dtype_name: str, img_size: int = 128,
         return x_out, jnp.sum(sums)
 
     per_iter, ratio = _measure(chained, x, outer)
+    dtype_row = "int8" if quant else dtype_name
+    mfu = _mfu_gate(per_iter, _compiled_flops(chained, x), INNER,
+                    dtype_row)
     return dict(net=net, batch=batch,
-                dtype="int8" if quant else dtype_name, mode="infer",
+                dtype=dtype_row, mode="infer",
                 decode="pallas" if use_pallas else "xla",
                 ms_per_batch=round(per_iter * 1e3, 3),
                 frames_per_sec=round(batch / per_iter, 1),
-                linearity=round(ratio, 2))
+                linearity=round(ratio, 2), implied_mfu=mfu)
 
 
 def run_decode(batch: int, feat: int = 64, jt_num: int = 14,
@@ -155,11 +201,13 @@ def run_decode(batch: int, feat: int = 64, jt_num: int = 14,
     import functools
     per_iter, ratio = _measure(
         functools.partial(chained, img=img), off, outer)
+    mfu = _mfu_gate(per_iter, _compiled_flops(chained, off, img=img),
+                    INNER, "float32")
     return dict(batch=batch, feat=feat, mode="decode",
                 decode="pallas" if use_pallas else "xla",
                 ms_per_batch=round(per_iter * 1e3, 3),
                 frames_per_sec=round(batch / per_iter, 1),
-                linearity=round(ratio, 2))
+                linearity=round(ratio, 2), implied_mfu=mfu)
 
 
 def run_train_one(net: str, batch: int, dtype_name: str,
@@ -193,6 +241,7 @@ def run_train_one(net: str, batch: int, dtype_name: str,
     dev = tr._put(b)
     tr.state, m = tr._train_step(tr.state, dev)
     float(m["loss"])  # compile + warmup
+    step_flops = _compiled_flops(tr._train_step, tr.state, dev)
 
     def run(n):
         acc = 0.0
@@ -208,10 +257,11 @@ def run_train_one(net: str, batch: int, dtype_name: str,
     ratio = dt2 / dt1
     dt = (dt1 + dt2) / (3 * iters)
     tr.close()
+    mfu = _mfu_gate(dt, step_flops, 1, dtype_name)
     return dict(net=net, batch=batch, dtype=dtype_name, mode="train",
                 ms_per_step=round(dt * 1e3, 3),
                 frames_per_sec=round(batch / dt, 1),
-                linearity=round(ratio, 2))
+                linearity=round(ratio, 2), implied_mfu=mfu)
 
 
 def run_train_chained(net: str, batch: int, dtype_name: str,
@@ -269,6 +319,7 @@ def run_train_chained(net: str, batch: int, dtype_name: str,
     state = tr.state
     state, s = chained(state, dev)
     float(s)  # compile + warmup
+    chain_flops = _compiled_flops(chained, state, dev)
 
     def run(n, state):
         acc = 0.0
@@ -285,11 +336,12 @@ def run_train_chained(net: str, batch: int, dtype_name: str,
     ratio = dt2 / dt1
     per_step = (dt1 + dt2) / (3 * outer * INNER)
     tr.close()
+    mfu = _mfu_gate(per_step, chain_flops, INNER, dtype_name)
     return dict(net=net, batch=batch, dtype=dtype_name,
                 mode="train_chained",
                 ms_per_step=round(per_step * 1e3, 3),
                 frames_per_sec=round(batch / per_step, 1),
-                linearity=round(ratio, 2))
+                linearity=round(ratio, 2), implied_mfu=mfu)
 
 
 def main():

@@ -75,9 +75,33 @@ bool read_file(const char* path, std::vector<uint8_t>* out,
   return true;
 }
 
+// Which PNG encodings a caller accepts.  Datasets have different cv2
+// spellings (NYU: imread + b+256g fold of 8-bit RGB; ICVL/HANDS17:
+// IMREAD_ANYDEPTH 16-bit gray), so a caller must be able to insist on
+// the matching on-disk format instead of letting the auto-dispatch
+// silently decode a mismatched file differently than its cv2 fallback
+// would.
+enum ExpectKind { kAny = 0, kNyuRgb8 = 1, kGray16 = 2 };
+
+bool parse_kind(const char* s, ExpectKind* out, std::string* err) {
+  if (!s || std::strcmp(s, "any") == 0) {
+    *out = kAny;
+  } else if (std::strcmp(s, "nyu") == 0) {
+    *out = kNyuRgb8;
+  } else if (std::strcmp(s, "gray16") == 0) {
+    *out = kGray16;
+  } else {
+    *err = std::string("unknown kind '") + s +
+           "'; expected 'any', 'nyu', or 'gray16'";
+    return false;
+  }
+  return true;
+}
+
 // Decode one PNG file into the NYU depth convention.  Runs without the
 // GIL; returns false + err message on any malformed/unsupported input.
-bool decode_png_depth(const char* path, PngImage* img, std::string* err) {
+bool decode_png_depth(const char* path, PngImage* img, std::string* err,
+                      ExpectKind expect = kAny) {
   std::vector<uint8_t> buf;
   if (!read_file(path, &buf, err)) return false;
 
@@ -132,6 +156,18 @@ bool decode_png_depth(const char* path, PngImage* img, std::string* err) {
   const bool rgb8 =
       bit_depth == 8 && (color_type == 2 || color_type == 6);
   const bool gray16 = bit_depth == 16 && color_type == 0;
+  if ((expect == kNyuRgb8 && !rgb8) || (expect == kGray16 && !gray16)) {
+    char msg[192];
+    std::snprintf(msg, sizeof(msg),
+                  "%s: PNG (bit_depth=%d color_type=%d) does not match "
+                  "the caller's expected encoding (%s); refusing to "
+                  "decode with mismatched semantics",
+                  path, bit_depth, color_type,
+                  expect == kNyuRgb8 ? "8-bit RGB/RGBA, NYU b+256g"
+                                     : "16-bit grayscale");
+    *err = msg;
+    return false;
+  }
   if ((!rgb8 && !gray16) || interlace != 0) {
     char msg[192];
     std::snprintf(msg, sizeof(msg),
@@ -241,13 +277,19 @@ bool decode_png_depth(const char* path, PngImage* img, std::string* err) {
 
 PyObject* py_decode_depth_png(PyObject*, PyObject* args) {
   const char* path = nullptr;
-  if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
+  const char* kind = nullptr;
+  if (!PyArg_ParseTuple(args, "s|s", &path, &kind)) return nullptr;
+  ExpectKind expect;
+  std::string err;
+  if (!parse_kind(kind, &expect, &err)) {
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
 
   PngImage img;
-  std::string err;
   bool ok;
   Py_BEGIN_ALLOW_THREADS;
-  ok = decode_png_depth(path, &img, &err);
+  ok = decode_png_depth(path, &img, &err, expect);
   Py_END_ALLOW_THREADS;
   if (!ok) {
     PyErr_SetString(PyExc_ValueError, err.c_str());
@@ -262,7 +304,14 @@ PyObject* py_decode_depth_png(PyObject*, PyObject* args) {
 
 PyObject* py_decode_depth_pngs(PyObject*, PyObject* args) {
   PyObject* seq_obj = nullptr;
-  if (!PyArg_ParseTuple(args, "O", &seq_obj)) return nullptr;
+  const char* kind = nullptr;
+  if (!PyArg_ParseTuple(args, "O|s", &seq_obj, &kind)) return nullptr;
+  ExpectKind expect;
+  std::string kind_err;
+  if (!parse_kind(kind, &expect, &kind_err)) {
+    PyErr_SetString(PyExc_ValueError, kind_err.c_str());
+    return nullptr;
+  }
   PyObject* seq = PySequence_Fast(seq_obj, "expected a sequence of paths");
   if (!seq) return nullptr;
   Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
@@ -287,7 +336,7 @@ PyObject* py_decode_depth_pngs(PyObject*, PyObject* args) {
   Py_BEGIN_ALLOW_THREADS;
   for (size_t i = 0; i < paths.size() && ok; ++i) {
     PngImage img;
-    ok = decode_png_depth(paths[i].c_str(), &img, &err);
+    ok = decode_png_depth(paths[i].c_str(), &img, &err, expect);
     if (!ok) break;
     if (i == 0) {
       h = img.height;
@@ -318,12 +367,14 @@ PyObject* py_decode_depth_pngs(PyObject*, PyObject* args) {
 
 PyMethodDef kMethods[] = {
     {"decode_depth_png", py_decode_depth_png, METH_VARARGS,
-     "decode_depth_png(path) -> (float32 bytes, (h, w)): NYU depth "
-     "PNG decode, depth = blue + 256*green (reference "
-     "nyu_loader.py:71-74)."},
+     "decode_depth_png(path, kind='any') -> (float32 bytes, (h, w)): "
+     "depth PNG decode.  8-bit RGB/RGBA folds blue + 256*green "
+     "(reference nyu_loader.py:71-74); 16-bit gray reads values "
+     "directly.  kind in {'any','nyu','gray16'} restricts the accepted "
+     "on-disk encoding (ValueError on mismatch)."},
     {"decode_depth_pngs", py_decode_depth_pngs, METH_VARARGS,
-     "decode_depth_pngs(paths) -> (float32 bytes, (n, h, w)): batched "
-     "decode; all frames must share one size."},
+     "decode_depth_pngs(paths, kind='any') -> (float32 bytes, "
+     "(n, h, w)): batched decode; all frames must share one size."},
     {nullptr, nullptr, 0, nullptr},
 };
 

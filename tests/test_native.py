@@ -108,3 +108,64 @@ def test_nyu_loader_uses_native_path(tmp_path):
     p = str(tmp_path / "depth_1_0000001.png")
     _write_nyu_png(p, rng, h=480, w=640)
     np.testing.assert_array_equal(decode_depth_png(p), _nyu_ref(p))
+
+
+def test_kind_gate_rejects_mismatched_encoding(tmp_path):
+    """kind='nyu' must refuse a 16-bit gray file (and vice versa) so
+    the native path can never decode a file with different math than
+    the caller's cv2 fallback spelling would."""
+    rng = np.random.RandomState(5)
+    p_rgb = str(tmp_path / "rgb.png")
+    _write_nyu_png(p_rgb, rng)
+    p_g16 = str(tmp_path / "g16.png")
+    cv2.imwrite(p_g16, rng.randint(0, 65536, (32, 32), np.uint16))
+
+    np.testing.assert_array_equal(
+        native_decode.decode_depth_png(p_rgb, "nyu"), _nyu_ref(p_rgb))
+    with pytest.raises(ValueError, match="expected encoding"):
+        native_decode.decode_depth_png(p_g16, "nyu")
+    with pytest.raises(ValueError, match="expected encoding"):
+        native_decode.decode_depth_png(p_rgb, "gray16")
+    with pytest.raises(ValueError, match="unknown kind"):
+        native_decode.decode_depth_png(p_rgb, "bogus")
+
+
+def test_per_file_cv2_fallback(tmp_path):
+    """A file the native decoder rejects (kind mismatch here; palette/
+    interlaced in the wild) routes through the cv2 fallback with a
+    warning instead of crashing the epoch."""
+    import warnings as _w
+
+    rng = np.random.RandomState(6)
+    p_g16 = str(tmp_path / "reencoded.png")
+    depth = rng.randint(0, 65536, (24, 24), np.uint16)
+    cv2.imwrite(p_g16, depth)
+
+    calls = []
+
+    def fb(path):
+        calls.append(path)
+        return cv2.imread(path, cv2.IMREAD_ANYDEPTH).astype(np.float32)
+
+    native_decode._warned_fallback.discard("nyu")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = native_decode.decode_or_fallback(p_g16, "nyu", fb)
+    assert calls == [p_g16]
+    np.testing.assert_array_equal(out, depth.astype(np.float32))
+    assert any("fell back to cv2" in str(r.message) for r in rec)
+
+
+def test_loader_decoders_match_their_cv2_spelling(tmp_path):
+    """icvl/hands17 wrappers pin kind='gray16': bit-equal to their
+    IMREAD_ANYDEPTH cv2 spelling on the format they claim."""
+    from awr_tpu.data.hands17 import decode_hands17_png
+    from awr_tpu.data.icvl import decode_icvl_png
+
+    rng = np.random.RandomState(7)
+    p = str(tmp_path / "d16.png")
+    depth = rng.randint(0, 32001, (60, 80), np.uint16)
+    cv2.imwrite(p, depth)
+    ref = cv2.imread(p, cv2.IMREAD_ANYDEPTH).astype(np.float32)
+    np.testing.assert_array_equal(decode_icvl_png(p), ref)
+    np.testing.assert_array_equal(decode_hands17_png(p), ref)

@@ -35,7 +35,10 @@ def write_fake_nyu(root, n_frames=4, seed=0):
                                g.uniform(700, 900)])
             jt = center[None] + g.uniform(-60, 60, (36, 3))
             jt[:, 2] = center[2] + g.uniform(-40, 40, 36)
-            depth = render_hand_depth(center, jt[:14], NYU_PARAS)
+            # render the 14 joints the loader actually selects so the
+            # labels describe visible geometry
+            depth = render_hand_depth(
+                center, jt[JOINT_SELECT][EVAL_SELECT], NYU_PARAS)
             # encode as NYU PNG: b = depth % 256, g = depth // 256
             dep = depth.astype(np.uint16)
             img = np.zeros((*depth.shape, 3), np.uint8)
