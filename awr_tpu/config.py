@@ -101,6 +101,19 @@ class Config:
     # loop at train.py:116-121 overwrites `loss` per stage so only the last
     # stack's loss is backpropagated, recomputing the forward nstack times).
     supervise_all_stacks: bool = True
+    # Split each train batch into N sequential microbatches inside the
+    # jitted step (lax.scan), averaging gradients before ONE optimizer
+    # update: the effective batch stays `batch_size` while peak
+    # activation memory drops ~N-fold.  BatchNorm statistics are
+    # computed per microbatch (standard grad-accum semantics, same as
+    # torch with N smaller batches).  batch_size must divide by it.
+    grad_accum: int = 1
+    # Rematerialize (jax.checkpoint) each backbone block / hourglass
+    # stack in the backward pass: activations inside each unit are
+    # recomputed instead of stored, trading ~1 extra forward of FLOPs
+    # for a large cut in peak HBM.  Param trees are unchanged, so
+    # checkpoints are compatible either way.
+    remat: bool = False
     # RNG seed for params/augmentation.
     seed: int = 23455
     # Keep only the newest N epoch checkpoints (None = keep all, the

@@ -130,10 +130,19 @@ class PoseNet(nn.Module):
     # out_vec/out_ht regression heads and the inter-stack merges stay
     # in the compute dtype (tiny FLOPs, precision-sensitive).
     quant_mode: str = "off"
+    # Rematerialize each stack's full hourglass in the backward pass
+    # (jax.checkpoint via nn.remat): the encoder-decoder pyramid is the
+    # activation bulk, so recomputing it per stack cuts peak HBM
+    # roughly nstack-fold at one extra forward of FLOPs per stack.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, imgs, train: bool = False):
         qm = self.quant_mode
+        hg_cls = HourglassBlock
+        if self.remat:
+            # `train` (argnum 2 counting self) is a static bool
+            hg_cls = nn.remat(HourglassBlock, static_argnums=(2,))
         x = imgs.astype(self.dtype)
         # Stem (reference :111-118): overall downsample 2.
         x = ConvBlock(64, 5, 1, bn=True, relu=True, dtype=self.dtype,
@@ -146,7 +155,7 @@ class PoseNet(nn.Module):
 
         preds = []
         for i in range(self.nstack):
-            hg = HourglassBlock(
+            hg = hg_cls(
                 4, self.inp_dim, self.increase, self.dtype,
                 quant_mode=qm, name=f"hg{i}",
             )(x, train)

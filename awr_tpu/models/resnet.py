@@ -139,11 +139,18 @@ class ResNetDeconv(nn.Module):
     # 'int8'.  Param tree is identical across modes; the 1x1 heads stay
     # in the compute dtype (they feed the mm-precision decode directly).
     quant_mode: str = "off"
+    # Rematerialize each residual block in the backward pass
+    # (jax.checkpoint via nn.remat): inner activations are recomputed
+    # instead of stored.  Same params/outputs; lower peak HBM.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.downsample in (1, 2, 4), self.downsample
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
+        if self.remat:
+            # `train` (argnum 2 counting self) is a static bool
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         x = x.astype(self.dtype)
 
         # Stem (reference :31-36): conv5 s1 + BN + ReLU + maxpool3 s2 p1.
@@ -207,7 +214,8 @@ class ResNetDeconv(nn.Module):
 
 
 def get_deconv_net(layers: int, joint_num: int, downsample: int,
-                   dtype=jnp.float32, quant_mode="off") -> ResNetDeconv:
+                   dtype=jnp.float32, quant_mode="off",
+                   remat=False) -> ResNetDeconv:
     """Factory matching reference resnet_deconv.py:8-16."""
     block, layer_sizes = RESNET_SPECS[layers]
     return ResNetDeconv(
@@ -217,4 +225,5 @@ def get_deconv_net(layers: int, joint_num: int, downsample: int,
         downsample=downsample,
         dtype=dtype,
         quant_mode=quant_mode,
+        remat=remat,
     )

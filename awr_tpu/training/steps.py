@@ -55,8 +55,10 @@ def make_train_step(model, optimizer, cfg, mesh=None):
     dense_w = cfg.dense_weight
     coord_w = cfg.coord_weight
     supervise_all = cfg.supervise_all_stacks
+    accum = max(1, int(getattr(cfg, "grad_accum", 1)))
 
-    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+    def micro_grads(params, batch_stats, batch):
+        """Gradients + aux for ONE (micro)batch at fixed params."""
         img = batch["img"]  # (B, S, S)
         # (B,) validity weights mask mesh-size padding rows (if present)
         w = batch.get("w")
@@ -65,7 +67,7 @@ def make_train_step(model, optimizer, cfg, mesh=None):
 
         def loss_fn(params):
             out, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 img[..., None], train=True, mutable=["batch_stats"],
             )
             preds = _stacked(out)
@@ -86,9 +88,51 @@ def make_train_step(model, optimizer, cfg, mesh=None):
             return loss, (mut["batch_stats"], jt_pred, loss_offset,
                           loss_coord)
 
-        (loss, (batch_stats, jt_pred, l_off, l_crd)), grads = (
-            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (bs, jt_pred, l_off, l_crd)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
         )
+        return grads, bs, jt_pred, (loss, l_off, l_crd)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        if accum == 1:
+            grads, batch_stats, jt_pred, (loss, l_off, l_crd) = (
+                micro_grads(state.params, state.batch_stats, batch)
+            )
+        else:
+            # Microbatch scan (cfg.grad_accum): average per-microbatch
+            # gradients, chain BatchNorm stats sequentially, apply ONE
+            # optimizer update.  Peak activation memory is that of a
+            # B/accum batch; the update matches torch-style grad accum
+            # (loss averaged over microbatches, BN per microbatch).
+            B = batch["img"].shape[0]
+            assert B % accum == 0, (
+                f"batch size {B} not divisible by grad_accum {accum}")
+            if mesh is not None and (B // accum) % mesh.size != 0:
+                raise ValueError(
+                    f"microbatch {B // accum} (batch {B} / grad_accum "
+                    f"{accum}) not divisible by the {mesh.size}-device "
+                    f"data-parallel mesh")
+
+            def to_micro(x):
+                return x.reshape((accum, B // accum) + x.shape[1:])
+
+            micro = jax.tree_util.tree_map(to_micro, batch)
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like,
+                                                state.params)
+
+            def body(carry, mb):
+                bs, acc = carry
+                g, bs, jt_pred, losses = micro_grads(state.params, bs,
+                                                     mb)
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                return (bs, acc), (jt_pred, losses)
+
+            (batch_stats, acc), (jt_micro, losses) = jax.lax.scan(
+                body, (state.batch_stats, zero_grads), micro)
+            grads = jax.tree_util.tree_map(lambda g: g / accum, acc)
+            jt_pred = jt_micro.reshape((B,) + jt_micro.shape[2:])
+            loss, l_off, l_crd = (jnp.mean(x) for x in losses)
+
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

@@ -24,6 +24,13 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=0.0)
     ap.add_argument("--optimizer", default="")
     ap.add_argument("--scheduler", default="")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="split each batch into N microbatches inside "
+                         "the jitted step (one optimizer update, ~N-fold "
+                         "lower peak activation HBM)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize backbone blocks in the backward "
+                         "pass (recompute instead of store activations)")
     args = ap.parse_args(argv)
     cfg = build_config(args)
     over = {}
@@ -35,6 +42,10 @@ def main(argv=None):
         over["optimizer"] = args.optimizer
     if args.scheduler:
         over["scheduler"] = args.scheduler
+    if args.grad_accum > 1:
+        over["grad_accum"] = args.grad_accum
+    if args.remat:
+        over["remat"] = True
     cfg = cfg.replace(**over)
 
     from awr_tpu.training.trainer import Trainer

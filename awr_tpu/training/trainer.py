@@ -79,7 +79,8 @@ class Trainer:
 
         self.model = build_model(config.net, config.jt_num,
                                  config.downsample,
-                                 dtype=DTYPES[config.compute_dtype])
+                                 dtype=DTYPES[config.compute_dtype],
+                                 remat=config.remat)
 
         # init params on a dummy frame
         rng = jax.random.PRNGKey(config.seed)
