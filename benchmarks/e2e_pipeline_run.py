@@ -56,7 +56,7 @@ def generate_nyu_on_disk(root: str, n_train: int, n_test: int,
     from awr_tpu.geometry import xyz2uvd_np
 
     marker = os.path.join(root, ".generated")
-    want = f"{n_train},{n_test},{seed},v1"
+    want = f"{n_train},{n_test},{seed},v2"  # v2: 14-joint render
     if os.path.exists(marker) and open(marker).read() == want:
         return root
     g = np.random.RandomState(seed)
