@@ -36,7 +36,15 @@ def _salt() -> float:
 
 def _compiled_flops(jitted, *args, **kw):
     """FLOPs (XLA cost model) of an ALREADY-compiled jitted call — the
-    lower/compile here hits jax's executable cache, so this is free."""
+    lower/compile here hits jax's executable cache, so this is free.
+
+    NOTE: the cost model counts a ``lax.scan`` body ONCE regardless of
+    trip count (verified against the unchained spelling: the INNER=4
+    chained resnet_18 forward reports exactly 1x the 7.14 GFLOP/frame
+    of the plain call), so for our serial-chain benchmarks the per-CALL
+    number IS the per-ITERATION number.  If a future XLA changes this,
+    implied MFU over-reports by INNER and the >=100% gate trips loudly
+    — a visible failure, never a silently-passed broken number."""
     try:
         analysis = jitted.lower(*args, **kw).compile().cost_analysis()
         if isinstance(analysis, list):
@@ -46,8 +54,7 @@ def _compiled_flops(jitted, *args, **kw):
         return None
 
 
-def _mfu_gate(per_iter_s: float, call_flops, iters_per_call: int,
-              dtype: str) -> float:
+def _mfu_gate(per_iter_s: float, iter_flops, dtype: str) -> float:
     """Implied MFU of one inner iteration vs the chip's datasheet peak.
 
     MANDATORY on every row (CLAUDE.md / BENCH_METHODOLOGY.md): raises —
@@ -56,7 +63,7 @@ def _mfu_gate(per_iter_s: float, call_flops, iters_per_call: int,
     failure mode)."""
     import jax
 
-    if not call_flops:
+    if not iter_flops:
         raise RuntimeError(
             "XLA cost model returned no FLOP count; refusing to emit an "
             "MFU-ungated sweep row")
@@ -64,7 +71,7 @@ def _mfu_gate(per_iter_s: float, call_flops, iters_per_call: int,
     peak = next((v for k, v in _CHIP_PEAKS.items() if k in kind), 197e12)
     if dtype == "int8":
         peak *= 2.0
-    mfu = (call_flops / iters_per_call) / per_iter_s / peak
+    mfu = iter_flops / per_iter_s / peak
     if mfu >= 1.0:
         raise RuntimeError(
             f"implied MFU {mfu:.1%} >= 100% of {peak / 1e12:.0f} "
@@ -160,8 +167,7 @@ def run_infer(net: str, batch: int, dtype_name: str, img_size: int = 128,
 
     per_iter, ratio = _measure(chained, x, outer)
     dtype_row = "int8" if quant else dtype_name
-    mfu = _mfu_gate(per_iter, _compiled_flops(chained, x), INNER,
-                    dtype_row)
+    mfu = _mfu_gate(per_iter, _compiled_flops(chained, x), dtype_row)
     return dict(net=net, batch=batch,
                 dtype=dtype_row, mode="infer",
                 decode="pallas" if use_pallas else "xla",
@@ -202,7 +208,7 @@ def run_decode(batch: int, feat: int = 64, jt_num: int = 14,
     per_iter, ratio = _measure(
         functools.partial(chained, img=img), off, outer)
     mfu = _mfu_gate(per_iter, _compiled_flops(chained, off, img=img),
-                    INNER, "float32")
+                    "float32")
     return dict(batch=batch, feat=feat, mode="decode",
                 decode="pallas" if use_pallas else "xla",
                 ms_per_batch=round(per_iter * 1e3, 3),
@@ -257,7 +263,7 @@ def run_train_one(net: str, batch: int, dtype_name: str,
     ratio = dt2 / dt1
     dt = (dt1 + dt2) / (3 * iters)
     tr.close()
-    mfu = _mfu_gate(dt, step_flops, 1, dtype_name)
+    mfu = _mfu_gate(dt, step_flops, dtype_name)
     return dict(net=net, batch=batch, dtype=dtype_name, mode="train",
                 ms_per_step=round(dt * 1e3, 3),
                 frames_per_sec=round(batch / dt, 1),
@@ -265,7 +271,8 @@ def run_train_one(net: str, batch: int, dtype_name: str,
 
 
 def run_train_chained(net: str, batch: int, dtype_name: str,
-                      img_size: int = 128, outer: int = 4):
+                      img_size: int = 128, outer: int = 4,
+                      remat: bool = False, grad_accum: int = 1):
     """Sustained train-step throughput: INNER serial train steps per
     dispatch.
 
@@ -294,7 +301,8 @@ def run_train_chained(net: str, batch: int, dtype_name: str,
     cfg = Config(net=net, kernel_size=ks, img_size=img_size,
                  batch_size=batch, vis_freq=0,
                  print_freq=10**9, compute_dtype=dtype_name,
-                 matmul_precision="default")
+                 matmul_precision="default",
+                 remat=remat, grad_accum=grad_accum)
     ds = SyntheticHandDataset(min(batch, 64), cfg.jt_num, img_size,
                               phase="train", seed=0)
     tr = Trainer(cfg, ds, workdir=tempfile.mkdtemp(prefix="awr_bench_"))
@@ -336,9 +344,15 @@ def run_train_chained(net: str, batch: int, dtype_name: str,
     ratio = dt2 / dt1
     per_step = (dt1 + dt2) / (3 * outer * INNER)
     tr.close()
-    mfu = _mfu_gate(per_step, chain_flops, INNER, dtype_name)
+    # scan bodies are counted once (see _compiled_flops), so chain_flops
+    # is one train step's worth; a grad_accum microbatch scan inside the
+    # step is likewise counted once -> scale back up to the full batch
+    mfu = _mfu_gate(per_step,
+                    chain_flops and chain_flops * grad_accum,
+                    dtype_name)
     return dict(net=net, batch=batch, dtype=dtype_name,
-                mode="train_chained",
+                mode="train_chained", remat=remat,
+                grad_accum=grad_accum,
                 ms_per_step=round(per_step * 1e3, 3),
                 frames_per_sec=round(batch / per_step, 1),
                 linearity=round(ratio, 2), implied_mfu=mfu)
@@ -363,6 +377,10 @@ def main():
                     help="skip the default infer rows (train-only runs)")
     ap.add_argument("--int8", action="store_true",
                     help="also run post-training-int8 infer rows")
+    ap.add_argument("--memory-levers", action="store_true",
+                    help="with --train-chained: also time the remat and "
+                         "grad_accum=4 variants (the recompute cost of "
+                         "the memory savings in memory_r02.jsonl)")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
     if args.decode:
@@ -387,6 +405,11 @@ def main():
             if args.train_chained:
                 print(json.dumps(run_train_chained(net.strip(), b,
                                                    args.dtype)))
+                if args.memory_levers:
+                    print(json.dumps(run_train_chained(
+                        net.strip(), b, args.dtype, remat=True)))
+                    print(json.dumps(run_train_chained(
+                        net.strip(), b, args.dtype, grad_accum=4)))
 
 
 if __name__ == "__main__":
