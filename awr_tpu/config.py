@@ -101,6 +101,11 @@ class Config:
     # loop at train.py:116-121 overwrites `loss` per stage so only the last
     # stack's loss is backpropagated, recomputing the forward nstack times).
     supervise_all_stacks: bool = True
+    # Stage (pad + H2D transfer + shard) up to N batches ahead of the
+    # train/eval loop on a background thread (data/pipeline.py
+    # prefetch_to_device), overlapping the device upload with host-side
+    # decode.  0 = stage inline (reference-like serial behavior).
+    device_prefetch: int = 2
     # Split each train batch into N sequential microbatches inside the
     # jitted step (lax.scan), averaging gradients before ONE optimizer
     # update: the effective batch stays `batch_size` while peak

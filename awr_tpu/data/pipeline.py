@@ -108,3 +108,64 @@ class PrefetchLoader:
                 yield item
         finally:
             stop.set()
+
+
+def prefetch_to_device(iterator, stage, depth: int = 2):
+    """Overlap host->device staging with host-side batch production.
+
+    Yields ``stage(item)`` for each item of ``iterator``, in order, with
+    ``stage`` (typically pad + jnp.asarray + shard: the H2D transfer)
+    running on ONE background thread up to ``depth`` items ahead.  On a
+    tunneled/remote device the transfer is the loader thread's main
+    stall, so staging ahead lets decode of batch i+1 proceed while
+    batch i uploads (reference counterpart: torch pin_memory +
+    non_blocking copies; here it is the jax device_put path).
+
+    ``depth == 0`` degrades to inline staging (no thread).  The single
+    stager thread preserves order and jax dispatch safety; exceptions
+    (from the iterator or from staging) re-raise at the consuming call
+    site.  Abandoning the generator unblocks and stops the thread.
+    """
+    if depth <= 0:
+        for item in iterator:
+            yield stage(item)
+        return
+
+    out_q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def run():
+        try:
+            for item in iterator:
+                staged = stage(item)
+                while not stop.is_set():
+                    try:
+                        out_q.put((staged, None), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            payload = (_END, None)
+        except BaseException as e:  # noqa: BLE001 - forwarded verbatim
+            payload = (None, e)
+        while not stop.is_set():
+            try:
+                out_q.put(payload, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        while True:
+            staged, err = out_q.get()
+            if err is not None:
+                raise err
+            if staged is _END:
+                return
+            yield staged
+    finally:
+        stop.set()

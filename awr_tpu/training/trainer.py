@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from awr_tpu.config import Config
-from awr_tpu.data.pipeline import PrefetchLoader
+from awr_tpu.data.pipeline import PrefetchLoader, prefetch_to_device
 from awr_tpu.evaluation import Evaluator
 from awr_tpu.models import build_model
 from awr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
@@ -222,11 +222,23 @@ class Trainer:
                 self.train_data, cfg.batch_size, shuffle=True,
                 num_workers=workers,
                 rng=np.random.RandomState(cfg.seed + epoch))
+            # stage (pad + H2D upload + shard) device_prefetch batches
+            # ahead on a background thread so the upload of batch i
+            # overlaps the host decode of batch i+1
+            if raw_mode:
+                def stage(raw):
+                    return self._raw_inputs(raw, self.train_data)
+            else:
+                def stage(raw):
+                    batch, n = self._pad(raw)
+                    return self._put(batch), batch, n
+            staged_iter = prefetch_to_device(iter(loader), stage,
+                                             cfg.device_prefetch)
             pending = []  # defer device->host syncs to print/epoch time
-            for ii, raw in enumerate(loader):
+            for ii, staged in enumerate(staged_iter):
                 if raw_mode:
                     # fused step: device crop/augment + train in one jit
-                    dev_raw, p, n = self._raw_inputs(raw, self.train_data)
+                    dev_raw, p, n = staged
                     key = jax.random.fold_in(
                         jax.random.PRNGKey(cfg.seed),
                         epoch * 1_000_003 + ii)
@@ -236,8 +248,7 @@ class Trainer:
                               center_xyz=metrics["center_xyz"],
                               M=metrics["M"], cube=metrics["cube"])
                 else:
-                    batch, n = self._pad(raw)
-                    dev_batch = self._put(batch)
+                    dev_batch, batch, n = staged
                     self.state, metrics = self._train_step(self.state,
                                                            dev_batch)
                     fb = {k: batch[k] for k in ("jt_xyz", "center_xyz",
@@ -293,36 +304,57 @@ class Trainer:
         raw_mode = getattr(self.test_data, "mode", "host") == "raw"
         loader = PrefetchLoader(self.test_data, cfg.batch_size,
                                 num_workers=cfg.num_workers)
-        for ii, raw in enumerate(loader):
+        if raw_mode:
+            def stage(raw):
+                return self._raw_inputs(raw, self.test_data)
+        else:
+            def stage(raw):
+                batch, n = self._pad(raw)
+                return self._put(batch), batch, n
+        staged_iter = prefetch_to_device(iter(loader), stage,
+                                         cfg.device_prefetch)
+        # dispatch every eval step without a host sync; materialize the
+        # losses/joints afterwards (a float(loss) per batch would
+        # serialize the whole eval on the dispatch round-trip)
+        pending = []
+        for ii, staged in enumerate(staged_iter):
             if raw_mode:
                 # fused: device crop/normalize + forward + decode in one jit
-                dev_raw, p, n = self._raw_inputs(raw, self.test_data)
+                dev_raw, p, n = staged
                 metrics = self._raw_eval_step(
                     self.state.params, self.state.batch_stats, dev_raw, p)
-                batch = {k: np.asarray(metrics[k]) for k in
-                         ("img", "jt_uvd", "jt_xyz", "center_xyz", "M",
-                          "cube")}
+                fb = {k: metrics[k] for k in
+                      ("img", "jt_uvd", "jt_xyz", "center_xyz", "M",
+                       "cube")}
             else:
-                batch, n = self._pad(raw)
-                dev_batch = self._put(batch)
+                dev_batch, batch, n = staged
                 metrics = self._eval_step(self.state.params,
                                           self.state.batch_stats,
                                           dev_batch)
-            loss_sum += float(metrics["loss"])
+                fb = batch
+            vis = bool(cfg.vis_freq) and (ii + 1) % cfg.vis_freq == 0
+            keep = ("jt_xyz", "center_xyz", "M", "cube") + (
+                ("img", "jt_uvd") if vis else ())
+            pending.append((metrics["loss"], metrics["jt_uvd_pred"], n,
+                            {k: fb[k] for k in keep}, ii, vis))
+        for loss, jt_dev, n, fb, ii, vis in pending:
+            loss_sum += float(loss)
             nb += 1
-            jt_pred = np.asarray(metrics["jt_uvd_pred"])[:n]
-            eval_tool.feed_batch(jt_pred, batch["jt_xyz"][:n],
-                                 batch["center_xyz"][:n], batch["M"][:n],
-                                 batch["cube"][:n])
-            if cfg.vis_freq and (ii + 1) % cfg.vis_freq == 0:
+            jt_pred = np.asarray(jt_dev)[:n]
+            eval_tool.feed_batch(jt_pred, np.asarray(fb["jt_xyz"])[:n],
+                                 np.asarray(fb["center_xyz"])[:n],
+                                 np.asarray(fb["M"])[:n],
+                                 np.asarray(fb["cube"])[:n])
+            if vis:
                 img_path = os.path.join(
                     self.result_dir,
                     f"test_epoch_{epoch}_iter_{ii + 1}.png")
                 plot_pose(
-                    batch["img"][0],
+                    np.asarray(fb["img"])[0],
                     img_path,
                     (jt_pred[0] + 1) * cfg.img_size / 2.0,
-                    (batch["jt_uvd"][0] + 1) * cfg.img_size / 2.0,
+                    (np.asarray(fb["jt_uvd"])[0] + 1)
+                    * cfg.img_size / 2.0,
                     dataset=cfg.dataset)
 
         mpe, mid, auc, pck, thresh = eval_tool.get_measures()

@@ -59,3 +59,82 @@ def test_worker_error_propagates():
     loader = PrefetchLoader(Bad(8), 2, num_workers=2)
     with pytest.raises(ValueError, match="boom"):
         list(loader)
+
+
+class TestPrefetchToDevice:
+    def test_order_and_values(self):
+        from awr_tpu.data.pipeline import prefetch_to_device
+
+        out = list(prefetch_to_device(iter(range(20)),
+                                      lambda x: x * 2, depth=3))
+        assert out == [x * 2 for x in range(20)]
+
+    def test_depth_zero_inline(self):
+        from awr_tpu.data.pipeline import prefetch_to_device
+
+        seen = []
+        gen = prefetch_to_device(iter([1, 2, 3]), seen.append, depth=0)
+        assert next(gen) is None and seen == [1]  # staged lazily
+
+    def test_stage_exception_propagates(self):
+        from awr_tpu.data.pipeline import prefetch_to_device
+
+        def bad(x):
+            if x == 2:
+                raise RuntimeError("boom")
+            return x
+
+        gen = prefetch_to_device(iter(range(5)), bad, depth=2)
+        assert next(gen) == 0
+        assert next(gen) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            list(gen)
+
+    def test_abandon_stops_thread(self):
+        import threading
+
+        from awr_tpu.data.pipeline import prefetch_to_device
+
+        n0 = threading.active_count()
+        gen = prefetch_to_device(iter(range(1000)), lambda x: x, depth=1)
+        assert next(gen) == 0
+        gen.close()  # abandon mid-stream
+        import time
+
+        for _ in range(50):  # thread should exit promptly
+            if threading.active_count() <= n0:
+                break
+            time.sleep(0.1)
+        assert threading.active_count() <= n0
+
+
+def test_trainer_device_prefetch_equivalence(tmp_path):
+    """One epoch with staged prefetch == one with inline staging: the
+    batches, order, and RNG are identical, so the params must be."""
+    import jax
+
+    from awr_tpu.config import Config
+    from awr_tpu.data.synthetic import SyntheticHandDataset
+    from awr_tpu.training.trainer import Trainer
+
+    params = []
+    for name, depth in (("pf0", 0), ("pf2", 2)):
+        cfg = Config(net="resnet_18", img_size=64, batch_size=8,
+                     vis_freq=0, use_pallas=False, print_freq=1000,
+                     kernel_size=1.0, max_epoch=1,
+                     device_prefetch=depth)
+        tr = Trainer(
+            cfg,
+            SyntheticHandDataset(16, cfg.jt_num, cfg.img_size,
+                                 phase="train", seed=0),
+            SyntheticHandDataset(8, cfg.jt_num, cfg.img_size,
+                                 phase="test", seed=1),
+            workdir=str(tmp_path / name))
+        tr.train()
+        params.append(jax.tree_util.tree_map(np.asarray,
+                                             tr.state.params))
+        tr.close()
+    a = jax.tree_util.tree_leaves(params[0])
+    b = jax.tree_util.tree_leaves(params[1])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
