@@ -389,6 +389,25 @@ class Trainer:
 
     def restore(self, path: Optional[str] = None,
                 epoch: Optional[int] = None):
+        if path and path.endswith(".pth"):
+            # reference checkpoint (config.py load_model points at e.g.
+            # './results/hourglass_1.pth'): import the torch state dict
+            # in place of params/batch_stats; optimizer state stays
+            # fresh, mirroring the reference's load_state_dict-only
+            # restore (train.py loads weights, never optimizer state)
+            from awr_tpu.models.torch_import import (
+                import_reference_weights,
+            )
+
+            variables = import_reference_weights(
+                self.cfg.net, path, self.cfg.downsample)
+            self.state = self.state._replace(
+                params=jax.device_put(variables["params"],
+                                      replicated(self.mesh)),
+                batch_stats=jax.device_put(variables["batch_stats"],
+                                           replicated(self.mesh)))
+            self.print_msg(f"imported reference weights from {path}")
+            return
         mgr = CheckpointManager(path) if path else self.ckpt
         template = dict(
             params=self.state.params,

@@ -151,3 +151,39 @@ def test_import_covers_all_torch_params():
     out = model.apply(builder_vars, jnp.zeros((1, 64, 64, 1)),
                       train=False)
     assert out.shape == (1, 32, 32, 56)
+
+
+def test_trainer_load_model_accepts_pth(tmp_path):
+    """Config.load_model pointing at a reference .pth (exactly how the
+    reference's config.py ships: './results/hourglass_1.pth') imports
+    the torch weights into the Trainer's state (trainer.restore)."""
+    import jax
+    import torch
+
+    from model.resnet_deconv import get_deconv_net as ref_factory
+
+    from awr_tpu.config import Config
+    from awr_tpu.data.synthetic import SyntheticHandDataset
+    from awr_tpu.models.torch_import import import_reference_weights
+    from awr_tpu.training.trainer import Trainer
+
+    ref = ref_factory(18, 14, 2)
+    randomize_state_dict(ref, seed=7)
+    path = str(tmp_path / "resnet_18.pth")
+    torch.save({"model": ref.state_dict()}, path)
+
+    cfg = Config(net="resnet_18", img_size=64, batch_size=8,
+                 vis_freq=0, use_pallas=False, print_freq=1000,
+                 kernel_size=1.0, load_model=path)
+    test = SyntheticHandDataset(8, cfg.jt_num, cfg.img_size,
+                                phase="test", seed=1)
+    tr = Trainer(cfg, test_data=test, workdir=str(tmp_path / "w"))
+    want = import_reference_weights("resnet_18", path)
+    got = jax.tree_util.tree_leaves(tr.state.params)
+    exp = jax.tree_util.tree_leaves(want["params"])
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
+    mpe, _ = tr.test(epoch=0)
+    assert np.isfinite(mpe)
+    tr.close()
