@@ -60,10 +60,19 @@ def analyze(net: str, batch: int, img_size: int, dtype: str,
         jt_uvd=jnp.asarray(g.uniform(-0.5, 0.5, (batch, cfg.jt_num, 3)),
                            jnp.float32),
     )
-    mem = step.lower(state, batch_arrs).compile().memory_analysis()
     row = dict(net=net, batch=batch, img_size=img_size, dtype=dtype,
                remat=remat, grad_accum=grad_accum,
                backend=jax.devices()[0].platform)
+    try:
+        mem = step.lower(state, batch_arrs).compile().memory_analysis()
+    except Exception as e:
+        # on TPU, a memory plan exceeding HBM fails AT COMPILE — record
+        # it: "plain OOMs where the levers fit" is the enablement claim
+        msg = str(e)
+        row["compile_error"] = (msg[:300] + "...") if len(msg) > 300 \
+            else msg
+        row["oom"] = ("RESOURCE_EXHAUSTED" in msg or "emory" in msg)
+        return row
     if mem is None:
         row["error"] = "memory_analysis unavailable on this backend"
         return row
@@ -85,6 +94,11 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="analyze the CPU backend's plan (no remote "
                          "TPU compiles; arena ratios are comparable)")
+    ap.add_argument("--enablement", action="store_true",
+                    help="compile ONLY plain vs remat+grad_accum at "
+                         "--batch: shows a batch where the plain step "
+                         "exceeds HBM (compile fails) while the levers "
+                         "fit")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -95,8 +109,10 @@ def main():
 
     import time
 
+    variants = ([(False, 1), (True, 8)] if args.enablement
+                else [(False, 1), (True, 1), (False, 4), (True, 4)])
     rows = []
-    for remat, ga in [(False, 1), (True, 1), (False, 4), (True, 4)]:
+    for remat, ga in variants:
         t0 = time.time()
         row = analyze(args.net, args.batch, args.img_size, args.dtype,
                       remat, ga)
