@@ -67,6 +67,9 @@ def test_checkpoint_roundtrip(tmp_path):
     # cursor 'epoch' and must survive non-improving later epochs
     tr.best_records.update(epoch=3, best_epoch=2, MPE=12.5)
     tr.save(3)
+    # saves are async; a DIFFERENT manager (tr2 below) only sees
+    # committed steps, so flush the writer before reading
+    tr.ckpt.wait()
     p0 = np.asarray(
         jax.tree_util.tree_leaves(tr.state.params)[0])
 
@@ -79,6 +82,29 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(tr2.state.step) == 1
     tr.close()
     tr2.close()
+
+
+def test_async_checkpoint_saves_commit(tmp_path):
+    """save() is non-blocking (docs/DESIGN.md section 7): back-to-back
+    epoch saves schedule without waiting; wait()/latest_epoch()/restore()
+    flush, and the restored tree equals what was saved."""
+    from awr_tpu.training.checkpoints import CheckpointManager
+
+    state = {"params": {"w": np.arange(6, dtype=np.float32)},
+             "step": np.int64(1)}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    for e in (1, 2, 3):
+        mgr.save(e, dict(state, step=np.int64(e)))  # no block
+    assert mgr.latest_epoch() == 3  # waits internally
+    out = mgr.restore(3, template=state)
+    assert int(out["step"]) == 3
+    np.testing.assert_array_equal(out["params"]["w"],
+                                  state["params"]["w"])
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr2.latest_epoch() == 3  # committed and visible post-close
+    mgr2.close()
 
 
 def test_mesh_data_parallel_matches_single_device(tmp_path):
@@ -94,8 +120,16 @@ def test_mesh_data_parallel_matches_single_device(tmp_path):
     batch, _ = tr1._pad(next(tr1.train_data.batches(8)))
     d1 = tr1._put(batch)
     d8 = tr8._put(batch)
-    tr1.state, m1 = tr1._train_step(tr1.state, d1)
-    tr8.state, m8 = tr8._train_step(tr8.state, d8)
+    # AOT-compile both steps so the partitioned HLO is inspectable: the
+    # 8-device program must contain the XLA-inserted gradient/BatchNorm
+    # all-reduce (collectives come from GSPMD, not host code); the
+    # 1-device program must contain none (docs/DESIGN.md section 5).
+    c1 = tr1._train_step.lower(tr1.state, d1).compile()
+    c8 = tr8._train_step.lower(tr8.state, d8).compile()
+    assert "all-reduce" in c8.as_text()
+    assert "all-reduce" not in c1.as_text()
+    tr1.state, m1 = c1(tr1.state, d1)
+    tr8.state, m8 = c8(tr8.state, d8)
     # reduction order differs between sharded and unsharded all-reduces;
     # tolerate float32 accumulation noise only
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
