@@ -104,19 +104,31 @@ class SyntheticHandDataset(DepthDataset):
             # every joint VISIBLE: small equal spheres on a jittered
             # xy grid facing the camera, shallow z spread.  Fully
             # observable -> no error floor; use for convergence checks.
-            # spacing 35mm, xy jitter +-6, radius 10: min center
-            # distance 35 - 12 = 23 > 2r = 20, so spheres are disjoint
-            # and every joint is visible by construction
+            # Disjointness by construction: min xy center distance =
+            # spacing - 2*jitter must exceed 2*radius (z spread +-10 at
+            # ~650-950mm depth cannot bring xy-disjoint spheres onto
+            # one viewing ray).  jt_num <= 16 keeps the original 35mm/
+            # +-6/r10 numbers (23 > 20; committed convergence recipes
+            # depend on them); larger grids (21-joint MSRA/HANDS17
+            # configs) shrink jitter and radius with the spacing so the
+            # guarantee holds for every side length.
             side = int(np.ceil(np.sqrt(jt_num)))
+            spacing = 140.0 / side
+            if side <= 4:
+                jitter, radius = 6.0, 10.0
+            else:
+                jitter = spacing / 7.0
+                radius = 0.45 * (spacing - 2.0 * jitter)
+            assert spacing - 2 * jitter > 2 * radius
             gx, gy = np.meshgrid(np.arange(side), np.arange(side))
             grid = np.stack([gx.ravel(), gy.ravel()], 1)[:jt_num]
-            grid = (grid - (side - 1) / 2.0) * (140.0 / side)
+            grid = (grid - (side - 1) / 2.0) * spacing
             off = np.zeros((num_samples, jt_num, 3))
             off[..., :2] = grid[None] + g.uniform(
-                -6, 6, (num_samples, jt_num, 2))
+                -jitter, jitter, (num_samples, jt_num, 2))
             off[..., 2] = g.uniform(-10, 10, (num_samples, jt_num))
             self.joints = self.centers[:, None, :] + off
-            self._radii = [10.0] * jt_num
+            self._radii = [radius] * jt_num
         else:
             raise ValueError(f"unknown layout {layout!r}")
         self._render_cache = {} if cache_renders else None

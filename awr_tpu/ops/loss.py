@@ -32,4 +32,8 @@ def smooth_l1_loss(x: jax.Array, y: jax.Array,
     w = sample_weight.astype(jnp.float32)
     w_full = w.reshape((-1,) + (1,) * (val.ndim - 1))
     per_sample_elems = val[0].size
-    return jnp.sum(val * w_full) / (jnp.sum(w) * per_sample_elems)
+    # max(sum, 1): an ALL-padding (micro)batch (possible when the final
+    # partial batch pads to a multiple of grad_accum*mesh) must yield
+    # loss 0 with zero gradients, not 0/0 = NaN poisoning the step
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.sum(val * w_full) / (denom * per_sample_elems)

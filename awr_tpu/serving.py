@@ -30,16 +30,30 @@ DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 class Predictor:
     def __init__(self, config: Config, variables: dict,
-                 paras=None, flip: Optional[int] = None):
+                 paras=None, flip: Optional[int] = None, mesh=None):
+        """``mesh``: optional multi-device ``jax.sharding.Mesh`` (e.g.
+        ``awr_tpu.parallel.mesh.make_mesh()``) — weights replicate, each
+        client batch shards over the batch axis, and XLA runs the
+        forward data-parallel across all chips.  Single-device serving
+        (mesh=None) is unchanged."""
         self.cfg = config
         self.paras = paras if paras is not None else config.paras
         self.flip = flip if flip is not None else config.flip
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
         self.model = build_model(config.net, config.jt_num,
                                  config.downsample,
                                  dtype=DTYPES[config.compute_dtype])
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
-        self._infer = jax.jit(make_infer_step(self.model, config))
+        if self.mesh is not None:
+            from awr_tpu.parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.batch_stats = jax.device_put(self.batch_stats, rep)
+        self._infer = jax.jit(make_infer_step(self.model, config,
+                                              mesh=self.mesh))
 
     # ------------------------------------------------------ constructors
     @classmethod
@@ -98,6 +112,7 @@ class Predictor:
                                  dtype=DTYPES[self.cfg.compute_dtype],
                                  quant_mode="int8")
         self._infer = jax.jit(make_infer_step(self.model, self.cfg,
+                                              mesh=self.mesh,
                                               quant=self.quant))
 
     # ------------------------------------------------------------ export
@@ -142,14 +157,19 @@ class Predictor:
         return payload
 
     # --------------------------------------------------------- inference
-    @staticmethod
-    def _bucket(n: int) -> int:
+    def _bucket(self, n: int) -> int:
         """Pad batch size up to a power-of-two bucket (min 8) so XLA
         compiles one executable per bucket instead of one per distinct
-        client batch size."""
+        client batch size.  Under a mesh the bucket is also rounded to a
+        multiple of the device count so the batch axis shards evenly."""
         b = 8
         while b < n:
             b *= 2
+        if self.mesh is not None:
+            size = int(self.mesh.devices.size)
+            b = max(b, size)
+            if b % size:
+                b = ((b + size - 1) // size) * size
         return b
 
     def predict_normalized(self, img_norm) -> np.ndarray:
@@ -169,9 +189,14 @@ class Predictor:
         if bucket != n:
             pad = np.repeat(img_norm[-1:], bucket - n, axis=0)
             img_norm = np.concatenate([img_norm, pad])
+        if self.mesh is not None:
+            from awr_tpu.parallel.mesh import data_sharding
+
+            img_dev = jax.device_put(img_norm, data_sharding(self.mesh))
+        else:
+            img_dev = jnp.asarray(img_norm)
         out = np.asarray(
-            self._infer(self.params, self.batch_stats,
-                        jnp.asarray(img_norm)))
+            self._infer(self.params, self.batch_stats, img_dev))
         return out[:n]
 
     def predict(self, imgs, centers_xyz, cubes=None) -> np.ndarray:

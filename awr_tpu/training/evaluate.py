@@ -29,9 +29,12 @@ def build_config(args) -> Config:
         load_model=args.load_model,
         output_dir=args.output_dir,
         vis_freq=args.vis_freq,
-        use_pallas=not args.no_pallas,
         compute_dtype=args.compute_dtype,
     )
+    if args.pallas is not None:
+        # tri-state: unset keeps Config.use_pallas (the measured winner,
+        # config.py), --pallas/--no-pallas force it
+        over["use_pallas"] = args.pallas
     if args.downsample:
         over["downsample"] = args.downsample
     if getattr(args, "ckpt_max_to_keep", 0):
@@ -62,7 +65,12 @@ def add_common_args(ap: argparse.ArgumentParser):
                          "(0 = keep all, reference behavior)")
     ap.add_argument("--vis-freq", type=int, default=0,
                     help="overlay PNG every N batches (0=off)")
-    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--pallas", dest="pallas", action="store_true",
+                    default=None,
+                    help="force the Pallas kernels on (default: follow "
+                         "Config.use_pallas, the measured winner)")
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false",
+                    help="force the Pallas kernels off")
     ap.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--data-mode", default="host",

@@ -91,19 +91,28 @@ def make_train_step(model, optimizer, cfg, mesh=None):
         (loss, (bs, jt_pred, l_off, l_crd)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(params)
         )
-        return grads, bs, jt_pred, (loss, l_off, l_crd)
+        # valid-sample count of this (micro)batch: the losses above are
+        # normalized by it, so microbatch aggregation must weight by it
+        # to reproduce the accum=1 result when padding rows exist
+        wsum = (jnp.sum(w) if w is not None
+                else jnp.asarray(img.shape[0], jnp.float32))
+        return grads, bs, jt_pred, (loss, l_off, l_crd), wsum
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         if accum == 1:
-            grads, batch_stats, jt_pred, (loss, l_off, l_crd) = (
+            grads, batch_stats, jt_pred, (loss, l_off, l_crd), _ = (
                 micro_grads(state.params, state.batch_stats, batch)
             )
         else:
-            # Microbatch scan (cfg.grad_accum): average per-microbatch
-            # gradients, chain BatchNorm stats sequentially, apply ONE
-            # optimizer update.  Peak activation memory is that of a
-            # B/accum batch; the update matches torch-style grad accum
-            # (loss averaged over microbatches, BN per microbatch).
+            # Microbatch scan (cfg.grad_accum): aggregate per-microbatch
+            # gradients weighted by each microbatch's valid-sample count
+            # (== plain averaging when no padding rows exist, and every
+            # VALID sample contributes equally when the padded final
+            # partial batch spans microbatches — Trainer._pad pads to a
+            # multiple of accum*mesh so the shapes always divide), chain
+            # BatchNorm stats sequentially, apply ONE optimizer update.
+            # Peak activation memory is that of a B/accum batch; the
+            # update matches torch-style grad accum (BN per microbatch).
             B = batch["img"].shape[0]
             assert B % accum == 0, (
                 f"batch size {B} not divisible by grad_accum {accum}")
@@ -121,17 +130,21 @@ def make_train_step(model, optimizer, cfg, mesh=None):
                                                 state.params)
 
             def body(carry, mb):
-                bs, acc = carry
-                g, bs, jt_pred, losses = micro_grads(state.params, bs,
-                                                     mb)
-                acc = jax.tree_util.tree_map(jnp.add, acc, g)
-                return (bs, acc), (jt_pred, losses)
+                bs, acc, wtot = carry
+                g, bs, jt_pred, losses, wi = micro_grads(state.params,
+                                                         bs, mb)
+                acc = jax.tree_util.tree_map(
+                    lambda a, gi: a + gi * wi, acc, g)
+                return (bs, acc, wtot + wi), (jt_pred, losses, wi)
 
-            (batch_stats, acc), (jt_micro, losses) = jax.lax.scan(
-                body, (state.batch_stats, zero_grads), micro)
-            grads = jax.tree_util.tree_map(lambda g: g / accum, acc)
+            (batch_stats, acc, wtot), (jt_micro, losses, wis) = (
+                jax.lax.scan(body,
+                             (state.batch_stats, zero_grads,
+                              jnp.zeros((), jnp.float32)), micro))
+            grads = jax.tree_util.tree_map(lambda g: g / wtot, acc)
             jt_pred = jt_micro.reshape((B,) + jt_micro.shape[2:])
-            loss, l_off, l_crd = (jnp.mean(x) for x in losses)
+            loss, l_off, l_crd = (jnp.sum(x * wis) / wtot
+                                  for x in losses)
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)

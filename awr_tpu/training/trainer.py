@@ -100,6 +100,11 @@ class Trainer:
 
         self.mesh = mesh or make_mesh(config.mesh_devices)
         self.n_dev = self.mesh.devices.size
+        # Batches must split into grad_accum microbatches that each
+        # shard over the mesh, so the final partial batch pads to a
+        # multiple of accum*n_dev (padding rows are masked via 'w').
+        self._pad_multiple = self.n_dev * max(
+            1, int(getattr(config, "grad_accum", 1)))
         # Replicate state across the mesh; batches are sharded per step.
         self.state = jax.device_put(self.state, replicated(self.mesh))
 
@@ -147,13 +152,14 @@ class Trainer:
         self._log_fh.flush()
 
     def _pad(self, batch):
-        """Pad batch to a multiple of the mesh size; returns (batch, n).
+        """Pad batch to a multiple of mesh_size*grad_accum; returns
+        (batch, n).
 
         Adds a (B,) validity weight vector 'w' so padded duplicate rows
         are masked out of losses and gradients (the reference trains on
         the exact partial final batch)."""
         n = len(batch["img"])
-        rem = (-n) % self.n_dev
+        rem = (-n) % self._pad_multiple
         if rem:
             batch = {k: np.concatenate([v, np.repeat(v[-1:], rem, 0)])
                      for k, v in batch.items()}
@@ -188,6 +194,19 @@ class Trainer:
         p_dev = shard_batch({k: jnp.asarray(v) for k, v in p.items()},
                             self.mesh)
         return dev, p_dev, n
+
+    def _stage_fn(self, dataset):
+        """Staging callback for prefetch_to_device: the fused raw-mode
+        inputs, or pad + H2D upload + shard in host mode.  Shared by the
+        train and eval loops so the staging semantics cannot diverge."""
+        if getattr(dataset, "mode", "host") == "raw":
+            def stage(raw):
+                return self._raw_inputs(raw, dataset)
+        else:
+            def stage(raw):
+                batch, n = self._pad(raw)
+                return self._put(batch), batch, n
+        return stage
 
     # ------------------------------------------------------------ train
     def train(self):
@@ -225,15 +244,9 @@ class Trainer:
             # stage (pad + H2D upload + shard) device_prefetch batches
             # ahead on a background thread so the upload of batch i
             # overlaps the host decode of batch i+1
-            if raw_mode:
-                def stage(raw):
-                    return self._raw_inputs(raw, self.train_data)
-            else:
-                def stage(raw):
-                    batch, n = self._pad(raw)
-                    return self._put(batch), batch, n
-            staged_iter = prefetch_to_device(iter(loader), stage,
-                                             cfg.device_prefetch)
+            staged_iter = prefetch_to_device(
+                iter(loader), self._stage_fn(self.train_data),
+                cfg.device_prefetch)
             pending = []  # defer device->host syncs to print/epoch time
             for ii, staged in enumerate(staged_iter):
                 if raw_mode:
@@ -304,15 +317,9 @@ class Trainer:
         raw_mode = getattr(self.test_data, "mode", "host") == "raw"
         loader = PrefetchLoader(self.test_data, cfg.batch_size,
                                 num_workers=cfg.num_workers)
-        if raw_mode:
-            def stage(raw):
-                return self._raw_inputs(raw, self.test_data)
-        else:
-            def stage(raw):
-                batch, n = self._pad(raw)
-                return self._put(batch), batch, n
-        staged_iter = prefetch_to_device(iter(loader), stage,
-                                         cfg.device_prefetch)
+        staged_iter = prefetch_to_device(
+            iter(loader), self._stage_fn(self.test_data),
+            cfg.device_prefetch)
         # dispatch every eval step without a host sync; materialize the
         # losses/joints afterwards (a float(loss) per batch would
         # serialize the whole eval on the dispatch round-trip)

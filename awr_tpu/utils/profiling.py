@@ -75,3 +75,39 @@ def flops_of(fn: Callable, *example_args) -> Optional[float]:
         return float(analysis.get("flops")) if analysis else None
     except Exception:
         return None
+
+
+# bf16 systolic-array peak per chip, by device_kind substring.  The ONE
+# table every benchmark harness shares (bench.py, benchmarks/sweep.py,
+# benchmarks/profile_check.py) so the mandatory implied-MFU ceiling
+# (BENCH_METHODOLOGY.md) cannot drift between copies.  Used only as a
+# sanity CEILING (refuse impossible numbers), never as a target.
+CHIP_PEAK_FLOPS = {
+    "v5 lite": 197e12,  # TPU v5e datasheet bf16
+    "v5e": 197e12,
+    "v4": 275e12,
+    "v5p": 459e12,
+    "v6": 918e12,  # trillium
+}
+DEFAULT_PEAK_FLOPS = 197e12
+
+
+def chip_peak(device=None) -> float:
+    """Datasheet bf16 peak FLOP/s for ``device`` (default: devices()[0])."""
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in CHIP_PEAK_FLOPS.items():
+        if key in kind:
+            return peak
+    return DEFAULT_PEAK_FLOPS
+
+
+def implied_mfu(fps: float, flops_per_frame: float,
+                device=None) -> float:
+    """Model FLOPs utilization implied by a throughput measurement.
+
+    >= 1.0 is physically impossible — harnesses must REFUSE to report
+    such a number (the round-1 failure mode BENCH_METHODOLOGY.md bans).
+    """
+    return fps * flops_per_frame / chip_peak(device)

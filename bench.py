@@ -58,26 +58,6 @@ INNER = int(os.environ.get("AWR_BENCH_INNER", 8))
 OUTER = int(os.environ.get("AWR_BENCH_OUTER", 6))
 WARMUP = 2
 
-# bf16 systolic-array peak per chip, by device_kind substring.  Used only
-# as a sanity CEILING (refuse impossible numbers), not as a target.
-CHIP_PEAK_FLOPS = {
-    "v5 lite": 197e12,  # TPU v5e datasheet bf16
-    "v5e": 197e12,
-    "v4": 275e12,
-    "v5p": 459e12,
-    "v6": 918e12,  # trillium
-}
-DEFAULT_PEAK = 197e12
-
-
-def chip_peak(device) -> float:
-    kind = getattr(device, "device_kind", "").lower()
-    for key, peak in CHIP_PEAK_FLOPS.items():
-        if key in kind:
-            return peak
-    return DEFAULT_PEAK
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -86,7 +66,9 @@ def main():
     from awr_tpu.config import resnet_config
     from awr_tpu.models import build_model
     from awr_tpu.ops.decode import decode_offsets
-    from awr_tpu.utils.profiling import flops_of
+    # chip-peak table + MFU ceiling live in ONE place shared with
+    # benchmarks/sweep.py and profile_check.py (no drifting copies)
+    from awr_tpu.utils.profiling import chip_peak, flops_of
 
     cfg = resnet_config(18, compute_dtype="bfloat16")
     model = build_model(cfg.net, cfg.jt_num, cfg.downsample,
@@ -152,7 +134,13 @@ def main():
     # MANDATORY — if the XLA cost model is unavailable we refuse to
     # print an unguarded headline rather than silently skip the check
     # (skipping is exactly the round-1 failure mode this exists for).
-    fl = flops_of(forward_decode, img)  # FLOPs per chained-call batch
+    # The count comes from the ALREADY-COMPILED chained executable (the
+    # exact program that was timed; its HLO is cached by the compile
+    # helper, so no second remote compile).  The XLA cost model counts a
+    # lax.scan body ONCE regardless of trip count (verified in
+    # benchmarks/sweep.py::_compiled_flops), so the per-call number IS
+    # the per-iteration (one forward+decode batch) number.
+    fl = flops_of(chained, img)
     if not fl:
         print("REFUSED: XLA cost model returned no FLOP count "
               "(utils/profiling.flops_of); cannot evaluate the MFU "

@@ -84,8 +84,10 @@ def main():
         fp_final_mpe, _ = tr.test(epoch=-3)
         cal = build_model(cfg.net, cfg.jt_num, cfg.downsample,
                           quant_mode="calib")
-        calib_imgs = [b["img"] for b, _ in
-                      (tr._pad(x) for x in train.batches(32))][:4]
+        import itertools
+
+        calib_imgs = [tr._pad(x)[0]["img"] for x in
+                      itertools.islice(train.batches(32), 4)]
         quant = calibrate(cal, tr.state.params, tr.state.batch_stats,
                           calib_imgs)
         q8 = build_model(cfg.net, cfg.jt_num, cfg.downsample,

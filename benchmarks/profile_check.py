@@ -99,7 +99,9 @@ def profile_train(trace_dir: str, batch: int = 128, outer: int = 4):
     fl = flops_of(lambda st, bt: step(st, bt), state, dev)
     mfu = None
     if fl:
-        mfu = round(fl / (ms_per_step * 1e-3) / 197e12, 4)
+        from awr_tpu.utils.profiling import chip_peak
+
+        mfu = round(fl / (ms_per_step * 1e-3) / chip_peak(), 4)
     tr.close()
     result = dict(mode="train", net="resnet_18", batch=batch,
                   ms_per_step=round(ms_per_step, 3),

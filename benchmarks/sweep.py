@@ -24,11 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 INNER = 4  # serial iterations per jitted call
 
-# bf16 systolic-array peak by device_kind substring (sanity ceiling
-# only); int8 rows use 2x (the v5e MXU int8 path).
-_CHIP_PEAKS = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
-               "v5p": 459e12, "v6": 918e12}
-
 
 def _salt() -> float:
     return int.from_bytes(os.urandom(4), "little") / 2.0**32
@@ -61,14 +56,16 @@ def _mfu_gate(per_iter_s: float, iter_flops, dtype: str) -> float:
     refusing to emit the row — if the cost model is unavailable or the
     implied MFU is >= 100% of peak (a broken-harness number, the round-1
     failure mode)."""
-    import jax
+    # shared bf16 chip-peak table (awr_tpu/utils/profiling.py — one
+    # copy for bench.py / sweep.py / profile_check.py); int8 rows use
+    # 2x (the v5e MXU int8 path)
+    from awr_tpu.utils.profiling import chip_peak
 
     if not iter_flops:
         raise RuntimeError(
             "XLA cost model returned no FLOP count; refusing to emit an "
             "MFU-ungated sweep row")
-    kind = getattr(jax.devices()[0], "device_kind", "").lower()
-    peak = next((v for k, v in _CHIP_PEAKS.items() if k in kind), 197e12)
+    peak = chip_peak()
     if dtype == "int8":
         peak *= 2.0
     mfu = iter_flops / per_iter_s / peak

@@ -127,6 +127,55 @@ def test_grad_accum_matches_manual_microbatch_averaging(tmp_path):
     single.close()
 
 
+def test_grad_accum_partial_final_batch(tmp_path):
+    """The epoch-final PARTIAL batch under grad_accum: must pad to a
+    multiple of accum (not crash on an indivisible shape), weight every
+    valid sample equally across microbatches, and give the all-padding
+    last microbatch zero gradient weight (not NaN-poison the step)."""
+    accum = make_trainer(tmp_path, "accum_p", optimizer="sgd", lr=1e-2,
+                         grad_accum=4)
+    single = make_trainer(tmp_path, "single_p", optimizer="sgd", lr=1e-2)
+    _tree_allclose(accum.state.params, single.state.params, atol=0)
+
+    raw = next(accum.train_data.batches(8))
+    partial = {k: v[:5] for k, v in raw.items()}  # 5 valid rows
+    batch, n = accum._pad(partial)
+    assert n == 5 and len(batch["img"]) == 8  # padded to accum multiple
+    # microbatch valid counts: (2, 2, 1, 0) — last is ALL padding
+    state0 = accum.state
+
+    def copy(tree):
+        return jax.tree_util.tree_map(jnp.array, tree)
+
+    params0, opt0 = state0.params, state0.opt_state
+    bs = state0.batch_stats
+    stepped, weights = [], []
+    for i in range(4):
+        micro = {k: v[2 * i : 2 * i + 2] for k, v in batch.items()}
+        st = TrainState(copy(params0), copy(bs), copy(opt0),
+                        copy(state0.step))
+        st2, mi = single._train_step(st, single._put(micro))
+        assert np.isfinite(float(mi["loss"]))
+        stepped.append(st2.params)
+        weights.append(float(micro["w"].sum()))
+        bs = st2.batch_stats  # chain BN stats (incl. all-pad microbatch)
+
+    new_state, m = accum._train_step(state0, accum._put(batch))
+    assert np.isfinite(float(m["loss"]))
+
+    # fresh SGD updates are linear in the gradient, so the weighted mean
+    # of per-microbatch params equals the weighted-gradient update
+    assert weights == [2.0, 2.0, 1.0, 0.0]
+    wtot = sum(weights)
+    expect_params = jax.tree_util.tree_map(
+        lambda *xs: sum(wi * x for wi, x in zip(weights, xs)) / wtot,
+        *stepped)
+    _tree_allclose(new_state.params, expect_params, atol=1e-6)
+    _tree_allclose(new_state.batch_stats, bs, atol=1e-6)
+    accum.close()
+    single.close()
+
+
 def test_grad_accum_mesh_equivalence(tmp_path):
     """grad_accum under the 8-device data-parallel mesh computes the
     same update as on one device (microbatch 16/2=8 shards evenly)."""
@@ -155,6 +204,7 @@ def test_remat_accum_trainer_ckpt_compatible(tmp_path):
     tr = make_trainer(tmp_path, "ra", remat=True, grad_accum=2,
                       max_epoch=1)
     tr.train()
+    tr.ckpt.wait()  # saves are async; flush before another manager reads
     plain = make_trainer(tmp_path, "plain")
     plain.restore(path=str(tmp_path / "ra" / "ckpt"), epoch=1)
     _tree_allclose(plain.state.params, tr.state.params, atol=0)

@@ -75,20 +75,28 @@ def test_config_replace_and_factories():
 def test_synthetic_grid_layout_all_visible():
     """layout='grid' places equal small spheres on a jittered grid so
     EVERY joint is observable from the camera (no occlusion floor) —
-    the convergence-run task (benchmarks/convergence_run.py)."""
+    the convergence-run task (benchmarks/convergence_run.py).  Covers
+    14 joints (NYU, side-4 grid) AND 21 (MSRA/HANDS17, side-5 — the
+    spacing/jitter/radius shrink together to keep spheres disjoint)."""
     import numpy as np
 
     from awr_tpu.data.synthetic import SyntheticHandDataset
+    from awr_tpu.geometry import xyz2uvd_np
 
-    ds = SyntheticHandDataset(3, 14, 64, phase="test", seed=0,
-                              layout="grid")
-    for i in range(3):
-        img, jt_xyz, center = ds.raw_item(i)
-        # each joint's projected pixel must see a surface within its
-        # sphere radius (11mm) + rendering slack -> joint visible
-        from awr_tpu.geometry import xyz2uvd_np
-
-        uvd = xyz2uvd_np(jt_xyz, ds.paras, ds.flip)
-        for (u, v, d) in uvd:
-            z = img[int(round(v)), int(round(u))]
-            assert 0 < z <= d + 1.0 and z >= d - 12.0, (z, d)
+    for jt_num in (14, 21):
+        ds = SyntheticHandDataset(3, jt_num, 64, phase="test", seed=0,
+                                  layout="grid")
+        r = ds._radii[0]
+        for i in range(3):
+            img, jt_xyz, center = ds.raw_item(i)
+            # disjoint spheres: pairwise center distance > 2r
+            d2 = np.linalg.norm(
+                jt_xyz[:, None] - jt_xyz[None, :], axis=-1)
+            np.fill_diagonal(d2, np.inf)
+            assert d2.min() > 2 * r, (jt_num, d2.min(), r)
+            # each joint's projected pixel must see a surface within
+            # its sphere radius + rendering slack -> joint visible
+            uvd = xyz2uvd_np(jt_xyz, ds.paras, ds.flip)
+            for (u, v, d) in uvd:
+                z = img[int(round(v)), int(round(u))]
+                assert 0 < z <= d + 1.0 and z >= d - (r + 2.0), (z, d)

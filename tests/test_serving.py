@@ -44,6 +44,37 @@ def test_predict_matches_eval_path(tmp_path):
     tr.close()
 
 
+def test_mesh_data_parallel_serving_matches_single_device():
+    """Predictor(mesh=...) shards client batches over the device mesh
+    (weights replicated, batch axis split; docs/DESIGN.md section 5) and
+    must return what the single-device Predictor returns."""
+    import jax
+
+    from awr_tpu.models import build_model
+    from awr_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8, "conftest provides 8 CPU devices"
+    cfg = Config(net="resnet_18", kernel_size=1.0, img_size=64,
+                 batch_size=8, vis_freq=0, use_pallas=False,
+                 print_freq=1000)
+    import jax.numpy as jnp
+
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    variables = dict(model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 1)), train=True))
+    p1 = Predictor(cfg, variables)
+    p8 = Predictor(cfg, variables, mesh=make_mesh(8))
+
+    rng = np.random.RandomState(7)
+    imgs = rng.uniform(-1, 1, (12, 64, 64)).astype(np.float32)
+    # batch 12 -> bucket 16 (power of two, divisible by the 8 devices)
+    assert p8._bucket(12) == 16 and p8._bucket(3) == 8
+    out1 = p1.predict_normalized(imgs)
+    out8 = p8.predict_normalized(imgs)
+    assert out8.shape == (12, cfg.jt_num, 3)
+    np.testing.assert_allclose(out8, out1, rtol=1e-5, atol=1e-5)
+
+
 def test_predict_xyz_consistency(tmp_path):
     import jax
 
