@@ -22,10 +22,17 @@ so any trained or torch-imported checkpoint loads into the quantized
 model unchanged; only the ``quant`` collection is new.
 
 Modes (``quant_mode`` on the backbone):
-- ``"off"``   — plain fp/bf16 conv; no quant variables exist.
-- ``"calib"`` — fp forward that records per-layer max|activation| into
-  the mutable ``quant`` collection (``mutable=["quant"]``).
-- ``"int8"``  — quantized forward using the calibrated scales.
+- ``"off"``    — plain fp/bf16 conv; no quant variables exist.
+- ``"calib"``  — fp forward that records per-layer max|activation| into
+  the mutable ``quant`` collection (``mutable=["quant"]``); the
+  ``calib_percentile`` attribute (default 100 == running max) records a
+  per-batch |x| percentile instead, clipping activation outliers that
+  otherwise coarsen the int8 grid (deep bottleneck nets need this —
+  see BENCH_NOTES int8 accuracy table).
+- ``"int8"``   — quantized forward using the calibrated scales.
+- ``"int8_w"`` — weights-only int8 (per-channel rounding, fp
+  activations): isolates weight-rounding error from activation
+  clipping when debugging an accuracy regression.
 
 Usage: see :func:`calibrate` and tests/test_quant.py.
 """
@@ -56,6 +63,24 @@ def _quantize_weights(kernel: jax.Array, axes: Tuple[int, ...]):
     return q, scale
 
 
+# Calibration amplitude statistic: 100.0 records the running max|x|;
+# < 100 records a per-batch |x| percentile (outlier clipping).  Set by
+# :func:`calibrate` BEFORE the calib model traces (a one-off host pass,
+# so a module global is safe — it is baked into the traced graph).
+_CALIB_PERCENTILE = 100.0
+
+
+def _calib_amax(x: jax.Array) -> jax.Array:
+    """|x| amplitude for calibration: max, or a percentile (outlier
+    clipping — a handful of extreme activations otherwise stretches the
+    int8 grid until the bulk of the distribution rounds to a few
+    codes)."""
+    ax = jnp.abs(x.astype(jnp.float32))
+    if _CALIB_PERCENTILE >= 100.0:
+        return jnp.max(ax)
+    return jnp.percentile(ax.reshape(-1), _CALIB_PERCENTILE)
+
+
 def _quantize_acts(x: jax.Array, scale: jax.Array):
     """Symmetric per-tensor int8 with a precomputed (calibrated) scale."""
     s = jnp.maximum(scale, 1e-12).astype(jnp.float32)
@@ -78,7 +103,7 @@ class QuantConv(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
     dtype: Any = jnp.float32
-    mode: str = "off"  # 'off' | 'calib' | 'int8'
+    mode: str = "off"  # 'off' | 'calib' | 'int8' | 'int8_w'
 
     @nn.compact
     def __call__(self, x):
@@ -93,6 +118,13 @@ class QuantConv(nn.Module):
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 self.strides, self.padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        elif self.mode == "int8_w":
+            wq, s_w = _quantize_weights(kernel, (0, 1, 2))
+            wdq = (wq.astype(jnp.float32) * s_w).astype(self.dtype)
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype), wdq,
+                self.strides, self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         else:
             act_scale = self.variable(
                 QUANT_COL, "act_scale",
@@ -101,7 +133,7 @@ class QuantConv(nn.Module):
                 if not self.is_initializing():
                     act_scale.value = jnp.maximum(
                         act_scale.value,
-                        jnp.max(jnp.abs(x.astype(jnp.float32))) / _QMAX)
+                        _calib_amax(x) / _QMAX)
                 y = lax.conv_general_dilated(
                     x.astype(self.dtype), kernel.astype(self.dtype),
                     self.strides, self.padding,
@@ -164,6 +196,10 @@ class QuantConvTranspose(nn.Module):
 
         if self.mode == "off":
             return deconv(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.mode == "int8_w":
+            wq, s_w = _quantize_weights(kernel, (0, 1, 3))
+            wdq = (wq.astype(jnp.float32) * s_w).astype(self.dtype)
+            return deconv(x.astype(self.dtype), wdq)
 
         act_scale = self.variable(
             QUANT_COL, "act_scale", lambda: jnp.zeros((), jnp.float32))
@@ -171,7 +207,7 @@ class QuantConvTranspose(nn.Module):
             if not self.is_initializing():
                 act_scale.value = jnp.maximum(
                     act_scale.value,
-                    jnp.max(jnp.abs(x.astype(jnp.float32))) / _QMAX)
+                    _calib_amax(x) / _QMAX)
             return deconv(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.mode == "int8":
             xq, s_in = _quantize_acts(x, act_scale.value)
@@ -183,14 +219,19 @@ class QuantConvTranspose(nn.Module):
 
 
 def calibrate(model, params, batch_stats, batches: Sequence[jax.Array],
-              train: bool = False):
+              train: bool = False, percentile: float = 100.0):
     """Run calibration batches through a ``quant_mode='calib'`` model.
 
     ``batches``: iterable of (B, H, W) normalized depth images (same
     input convention as the backbone, pre-``[..., None]``).  Returns
     the calibrated ``quant`` collection (per-layer activation scales =
-    running max |x| / 127).
+    running max-over-batches of the |x| amplitude / 127, where the
+    amplitude is the batch max or, with ``percentile < 100``, that
+    |x| percentile — clipping activation outliers, which deep
+    bottleneck nets need; see BENCH_NOTES).
     """
+    global _CALIB_PERCENTILE
+    _CALIB_PERCENTILE = float(percentile)
     # abstract init: materialize the zeroed quant collection without
     # compiling (a real model.init would cost a full remote TPU compile
     # whose output — all-zero scalar scales — is discarded)

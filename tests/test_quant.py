@@ -111,6 +111,49 @@ def test_int8_forward_joints_close_to_fp32():
     assert err < 0.05, f"int8 joint drift {err:.4f} cube units"
 
 
+def test_int8_weights_only_mode_close_to_fp():
+    """'int8_w' (per-channel weight rounding, fp activations): same
+    param tree as fp, no quant collection, output close to fp — the
+    attribution probe benchmarks/quant_diagnose.py uses."""
+    jt_num = 14
+    fp = build_model("resnet_18", jt_num)
+    qw = build_model("resnet_18", jt_num, quant_mode="int8_w")
+    img = jnp.asarray(np.random.RandomState(1).uniform(
+        -1, 1, (2, 64, 64)).astype(np.float32))
+    v = fp.init(KEY, img[..., None], train=False)
+    vqw = qw.init(KEY, img[..., None], train=False)
+    assert "quant" not in vqw  # no activation scales in this mode
+    assert tree_shapes(v["params"]) == tree_shapes(vqw["params"])
+    out_fp = fp.apply(v, img[..., None], train=False)
+    out_qw = qw.apply({"params": v["params"],
+                       "batch_stats": v["batch_stats"]},
+                      img[..., None], train=False)
+    jt_fp = offset2joint_softmax(out_fp, img, 1.0)
+    jt_qw = offset2joint_softmax(out_qw, img, 1.0)
+    err = float(jnp.max(jnp.abs(jt_fp - jt_qw)))
+    assert err < 0.05, f"weight-only int8 joint drift {err:.4f}"
+
+
+def test_percentile_calibration_clips_outliers():
+    """percentile < 100 must yield act scales <= the max-calibrated
+    ones, strictly smaller where outliers exist."""
+    model = build_model("resnet_18", 14, quant_mode="calib")
+    img = jnp.zeros((1, 64, 64, 1))
+    v = model.init(KEY, img, train=False)
+    batch = np.random.RandomState(0).uniform(
+        -1, 1, (4, 64, 64)).astype(np.float32)
+    batch[0, 0, 0] = 50.0  # inject an input outlier
+    q_max = calibrate(model, v["params"], v["batch_stats"], [batch])
+    q_p99 = calibrate(model, v["params"], v["batch_stats"], [batch],
+                      percentile=99.0)
+    s_max = jax.tree_util.tree_leaves(q_max)
+    s_p99 = jax.tree_util.tree_leaves(q_p99)
+    assert all(float(a) <= float(b) + 1e-12
+               for a, b in zip(s_p99, s_max))
+    assert any(float(a) < float(b) * 0.9
+               for a, b in zip(s_p99, s_max))
+
+
 def test_int8_without_calibration_guards_div_by_zero():
     """Uncalibrated (zero) act scales must not produce NaNs."""
     q8 = build_model("resnet_18", 14, quant_mode="int8")
