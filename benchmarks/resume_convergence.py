@@ -84,7 +84,7 @@ def main():
         calib_imgs = [tr._pad(x)[0]["img"] for x in
                       itertools.islice(train.batches(32), 4)]
         quant = calibrate(cal, tr.state.params, tr.state.batch_stats,
-                          calib_imgs)
+                          calib_imgs, percentile=99.99)
         q8 = build_model(cfg.net, cfg.jt_num, cfg.downsample,
                          quant_mode="int8")
         tr._eval_step = jax.jit(make_eval_step(q8, cfg, quant=quant))

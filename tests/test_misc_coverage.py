@@ -72,6 +72,23 @@ def test_config_replace_and_factories():
     assert Config().paras[0] == 588.03
 
 
+def test_cli_pallas_flag_tristate():
+    """Unset --pallas/--no-pallas must follow Config.use_pallas (the
+    measured-winner default), not silently force the kernel on."""
+    import argparse
+
+    from awr_tpu.config import Config
+    from awr_tpu.training.evaluate import add_common_args, build_config
+
+    ap = argparse.ArgumentParser()
+    add_common_args(ap)
+    assert build_config(ap.parse_args([])).use_pallas \
+        == Config().use_pallas
+    assert build_config(ap.parse_args(["--pallas"])).use_pallas is True
+    assert build_config(
+        ap.parse_args(["--no-pallas"])).use_pallas is False
+
+
 def test_synthetic_grid_layout_all_visible():
     """layout='grid' places equal small spheres on a jittered grid so
     EVERY joint is observable from the camera (no occlusion floor) —
