@@ -47,14 +47,14 @@ import time
 PYTORCH_CPU_FPS = 9.59
 
 # Tunable via env for sweeps (defaults are the recorded headline config).
-# Batch 512 is the measured throughput-optimal point of the batch sweep
-# (benchmarks/sweep_r02_decode.jsonl: 512 > 128 > 32 fps on one chip).
-BATCH = int(os.environ.get("AWR_BENCH_BATCH", 512))
+# batch x INNER sweep on chip (fps): 512x8 13,480 / 512x16 14,064 /
+# 1024x8 13,992 / 1024x16 14,364 / 2048x8 14,010 / 2048x16 14,274 —
+# batch 1024 with 16-deep chains is the measured optimum (longer chains
+# amortize the ~26 ms/dispatch tunnel round-trip, BENCH_NOTES_r02.md).
+BATCH = int(os.environ.get("AWR_BENCH_BATCH", 1024))
 IMG = 128
-# serial forward+decode iterations per jitted call; more iterations
-# amortize the per-dispatch tunnel round-trip (~26 ms/call measured in
-# BENCH_NOTES_r02.md) toward the pure device time.
-INNER = int(os.environ.get("AWR_BENCH_INNER", 8))
+# serial forward+decode iterations per jitted call
+INNER = int(os.environ.get("AWR_BENCH_INNER", 16))
 OUTER = int(os.environ.get("AWR_BENCH_OUTER", 6))
 WARMUP = 2
 
