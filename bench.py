@@ -48,14 +48,15 @@ PYTORCH_CPU_FPS = 9.59
 
 # Tunable via env for sweeps (defaults are the recorded headline config).
 # batch x INNER sweep on chip (fps): 512x8 13,480 / 512x16 14,064 /
-# 1024x8 13,992 / 1024x16 14,364 / 2048x8 14,010 / 2048x16 14,274 —
-# batch 1024 with 16-deep chains is the measured optimum (longer chains
-# amortize the ~26 ms/dispatch tunnel round-trip, BENCH_NOTES_r02.md).
+# 1024x8 13,992 / 1024x16 14,364 / 1024x32 14,577 / 1024x64 14,680 /
+# 2048x8 14,010 / 2048x16 14,274 — batch 1024 with 64-deep chains is
+# the measured optimum (longer chains amortize the ~26 ms/dispatch
+# tunnel round-trip; gains asymptote <1% past 64, BENCH_NOTES_r02.md).
 BATCH = int(os.environ.get("AWR_BENCH_BATCH", 1024))
 IMG = 128
 # serial forward+decode iterations per jitted call
-INNER = int(os.environ.get("AWR_BENCH_INNER", 16))
-OUTER = int(os.environ.get("AWR_BENCH_OUTER", 6))
+INNER = int(os.environ.get("AWR_BENCH_INNER", 64))
+OUTER = int(os.environ.get("AWR_BENCH_OUTER", 2))
 WARMUP = 2
 
 def main():
