@@ -14,4 +14,6 @@ from awr_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated,
     shard_batch,
+    spatial_mesh,
+    spatial_sharding,
 )

@@ -9,6 +9,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -19,6 +20,31 @@ def make_mesh(n_devices: Optional[int] = None,
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def spatial_mesh(n_devices: Optional[int] = None,
+                 devices=None) -> Mesh:
+    """1-D mesh that shards the image HEIGHT axis, for latency serving.
+
+    The data-parallel mesh leaves all but one chip idle on a batch-1
+    request.  Sharding the H axis of every activation instead lets
+    XLA's GSPMD partitioner split each conv spatially — halo rows move
+    between neighbors via collective-permute over ICI — so a single
+    frame uses the whole slice.  (No reference counterpart: the
+    reference is single-GPU, SURVEY.md "Parallelism-strategy
+    inventory: none".)  Throughput-bound batches should keep
+    :func:`make_mesh`/DATA_AXIS.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (SPATIAL_AXIS,))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W) depth frames sharded over the H axis."""
+    return NamedSharding(mesh, P(None, SPATIAL_AXIS))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -31,16 +31,25 @@ DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 class Predictor:
     def __init__(self, config: Config, variables: dict,
                  paras=None, flip: Optional[int] = None, mesh=None):
-        """``mesh``: optional multi-device ``jax.sharding.Mesh`` (e.g.
-        ``awr_tpu.parallel.mesh.make_mesh()``) — weights replicate, each
-        client batch shards over the batch axis, and XLA runs the
-        forward data-parallel across all chips.  Single-device serving
-        (mesh=None) is unchanged."""
+        """``mesh``: optional multi-device ``jax.sharding.Mesh``.
+
+        A DATA-axis mesh (``awr_tpu.parallel.mesh.make_mesh()``)
+        replicates weights and shards each client batch over the batch
+        axis — the throughput mode.  A SPATIAL-axis mesh
+        (``awr_tpu.parallel.mesh.spatial_mesh()``) instead shards the
+        image HEIGHT across chips: GSPMD partitions every conv
+        spatially (halo exchange over ICI), so even a batch-1
+        latency-critical request uses the whole slice.  Single-device
+        serving (mesh=None) is unchanged."""
+        from awr_tpu.parallel.mesh import SPATIAL_AXIS
+
         self.cfg = config
         self.paras = paras if paras is not None else config.paras
         self.flip = flip if flip is not None else config.flip
         self.mesh = mesh if (mesh is not None
                              and mesh.devices.size > 1) else None
+        self._spatial = (self.mesh is not None
+                         and self.mesh.axis_names[0] == SPATIAL_AXIS)
         self.model = build_model(config.net, config.jt_num,
                                  config.downsample,
                                  dtype=DTYPES[config.compute_dtype])
@@ -52,8 +61,26 @@ class Predictor:
             rep = replicated(self.mesh)
             self.params = jax.device_put(self.params, rep)
             self.batch_stats = jax.device_put(self.batch_stats, rep)
-        self._infer = jax.jit(make_infer_step(self.model, config,
-                                              mesh=self.mesh))
+        self._infer = self._make_infer()
+
+    def _make_infer(self, quant=None):
+        """jit the forward+decode for the current mesh mode."""
+        if self._spatial:
+            import dataclasses
+
+            from awr_tpu.parallel.mesh import replicated, spatial_sharding
+
+            # Pallas has no GSPMD rule and the batch-axis shard_map does
+            # not apply to an H-sharded layout; the XLA decode partitions
+            # (and cross-device-reduces) correctly under GSPMD.
+            cfg = dataclasses.replace(self.cfg, use_pallas=False)
+            rep = replicated(self.mesh)
+            return jax.jit(
+                make_infer_step(self.model, cfg, quant=quant),
+                in_shardings=(rep, rep, spatial_sharding(self.mesh)),
+                out_shardings=rep)
+        return jax.jit(make_infer_step(self.model, self.cfg,
+                                       mesh=self.mesh, quant=quant))
 
     # ------------------------------------------------------ constructors
     @classmethod
@@ -118,9 +145,7 @@ class Predictor:
                                  self.cfg.downsample,
                                  dtype=DTYPES[self.cfg.compute_dtype],
                                  quant_mode="int8")
-        self._infer = jax.jit(make_infer_step(self.model, self.cfg,
-                                              mesh=self.mesh,
-                                              quant=self.quant))
+        self._infer = self._make_infer(quant=self.quant)
 
     # ------------------------------------------------------------ export
     def export_stablehlo(self, batch_size: int,
@@ -172,7 +197,7 @@ class Predictor:
         b = 8
         while b < n:
             b *= 2
-        if self.mesh is not None:
+        if self.mesh is not None and not self._spatial:
             size = int(self.mesh.devices.size)
             b = max(b, size)
             if b % size:
@@ -196,7 +221,12 @@ class Predictor:
         if bucket != n:
             pad = np.repeat(img_norm[-1:], bucket - n, axis=0)
             img_norm = np.concatenate([img_norm, pad])
-        if self.mesh is not None:
+        if self._spatial:
+            from awr_tpu.parallel.mesh import spatial_sharding
+
+            img_dev = jax.device_put(img_norm,
+                                     spatial_sharding(self.mesh))
+        elif self.mesh is not None:
             from awr_tpu.parallel.mesh import data_sharding
 
             img_dev = jax.device_put(img_norm, data_sharding(self.mesh))

@@ -132,3 +132,51 @@ def test_multihost_two_processes_real_boundary(tmp_path):
     # both processes computed the identical global result
     np.testing.assert_array_equal(np.asarray(results[0]["w_new"]),
                                   np.asarray(results[1]["w_new"]))
+
+
+def test_spatial_mesh_serving_matches_single_device():
+    """H-sharded (spatial_mesh) serving == single-device serving.
+
+    Shards a batch-1 request's image HEIGHT over all 8 virtual devices
+    and checks (a) the decoded joints match the unsharded Predictor and
+    (b) the compiled program actually partitions the convs spatially
+    (halo exchange => collective-permute in the HLO).  No reference
+    counterpart (single-GPU, SURVEY.md parallelism inventory: none).
+    """
+    from awr_tpu.config import resnet_config
+    from awr_tpu.models import build_model
+    from awr_tpu.parallel.mesh import (
+        SPATIAL_AXIS, spatial_mesh, spatial_sharding,
+    )
+    from awr_tpu.serving import Predictor
+
+    cfg = resnet_config(18, img_size=64, compute_dtype="float32")
+    cfg.use_pallas = False
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1)), train=True)
+
+    rng = np.random.RandomState(7)
+    img = np.ones((1, 64, 64), np.float32)  # bg = 1.0
+    img[:, 16:48, 16:48] = rng.uniform(
+        -0.5, 0.5, (1, 32, 32)).astype(np.float32)
+
+    mesh = spatial_mesh(8)
+    assert mesh.axis_names == (SPATIAL_AXIS,)
+    single = Predictor(cfg, variables)
+    spatial = Predictor(cfg, variables, mesh=mesh)
+
+    out1 = single.predict_normalized(img)
+    out8 = spatial.predict_normalized(img)
+    assert out1.shape == (1, cfg.jt_num, 3)
+    np.testing.assert_allclose(out8, out1, atol=1e-4, rtol=1e-4)
+
+    # batch-1 pads to the bucket floor (8) but NOT to a multiple of the
+    # mesh size times anything batch-wise — spatial mode has no batch
+    # divisibility constraint
+    assert spatial._bucket(1) == 8 and spatial._bucket(9) == 16
+
+    compiled = spatial._infer.lower(
+        spatial.params, spatial.batch_stats,
+        jax.ShapeDtypeStruct((8, 64, 64), jnp.float32)).compile()
+    assert "collective-permute" in compiled.as_text()
