@@ -22,7 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-INNER = 4  # serial iterations per jitted call
+# serial iterations per jitted call; deepen (e.g. AWR_SWEEP_INNER=16)
+# to amortize the tunnel dispatch round-trip as bench.py's headline does
+INNER = int(os.environ.get("AWR_SWEEP_INNER", 4))
 
 
 def _salt() -> float:
