@@ -33,6 +33,13 @@ Modes (``quant_mode`` on the backbone):
 - ``"int8_w"`` — weights-only int8 (per-channel rounding, fp
   activations): isolates weight-rounding error from activation
   clipping when debugging an accuracy regression.
+- ``"qat"``    — quantization-aware-training forward: numerically the
+  ``int8`` forward (fake-quantized weights and activations) with
+  straight-through-estimator gradients, so a short fine-tune adapts
+  the weights to the int8 grid and recovers the post-training-quant
+  accuracy loss.  Activation scales stay FROZEN at their calibrated
+  values (freeze-observer QAT; a zero scale falls back to the batch
+  max).  Driver: ``awr_tpu.training.qat.finetune``.
 
 Usage: see :func:`calibrate` and tests/test_quant.py.
 """
@@ -86,6 +93,21 @@ def _quantize_acts(x: jax.Array, scale: jax.Array):
     s = jnp.maximum(scale, 1e-12).astype(jnp.float32)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -_QMAX, _QMAX)
     return q.astype(jnp.int8), s
+
+
+def _ste(x: jax.Array, x_fq: jax.Array) -> jax.Array:
+    """Straight-through estimator: forward value ``x_fq`` (the
+    fake-quantized tensor), gradient d/dx = 1 (the rounding step has
+    zero gradient a.e., so QAT passes gradients straight through)."""
+    x32 = x.astype(jnp.float32)
+    return x32 + jax.lax.stop_gradient(x_fq.astype(jnp.float32) - x32)
+
+
+def _qat_act_scale(x: jax.Array, stored: jax.Array) -> jax.Array:
+    """QAT activation scale: the frozen calibrated value, or the batch
+    max for an uncalibrated (zero) scale — dynamic-quant fallback."""
+    s_batch = jnp.max(jnp.abs(x.astype(jnp.float32))) / _QMAX
+    return jnp.where(stored > 0, stored, s_batch)
 
 
 class QuantConv(nn.Module):
@@ -147,6 +169,22 @@ class QuantConv(nn.Module):
                     preferred_element_type=jnp.int32)
                 y = (acc.astype(jnp.float32)
                      * (s_in * s_w[0, 0, 0, :])).astype(self.dtype)
+            elif self.mode == "qat":
+                # Fake-quant QAT forward: conv(xq·s_in, wq·s_w) equals
+                # the int8 path's conv(xq, wq)·s_in·s_w in real
+                # arithmetic, so the loss being optimized IS the int8
+                # serving loss; STE lets gradients adapt the fp weights
+                # to the int8 grid.  Scales are frozen (module
+                # docstring: freeze-observer QAT).
+                s = _qat_act_scale(x, act_scale.value)
+                xq, s_in = _quantize_acts(x, s)
+                x_fq = _ste(x, xq.astype(jnp.float32) * s_in)
+                wq, s_w = _quantize_weights(kernel, (0, 1, 2))
+                w_fq = _ste(kernel, wq.astype(jnp.float32) * s_w)
+                y = lax.conv_general_dilated(
+                    x_fq.astype(self.dtype), w_fq.astype(self.dtype),
+                    self.strides, self.padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
             else:
                 raise ValueError(f"unknown quant mode {self.mode!r}")
 
@@ -215,6 +253,15 @@ class QuantConvTranspose(nn.Module):
             acc = deconv(xq, wq, prefer=jnp.int32)
             return (acc.astype(jnp.float32)
                     * (s_in * s_w[0, 0, :, 0])).astype(self.dtype)
+        if self.mode == "qat":
+            # fake-quant + STE; frozen scales (see QuantConv 'qat')
+            s = _qat_act_scale(x, act_scale.value)
+            xq, s_in = _quantize_acts(x, s)
+            x_fq = _ste(x, xq.astype(jnp.float32) * s_in)
+            wq, s_w = _quantize_weights(kernel, (0, 1, 3))
+            w_fq = _ste(kernel, wq.astype(jnp.float32) * s_w)
+            return deconv(x_fq.astype(self.dtype),
+                          w_fq.astype(self.dtype))
         raise ValueError(f"unknown quant mode {self.mode!r}")
 
 

@@ -147,6 +147,40 @@ class Predictor:
                                  quant_mode="int8")
         self._infer = self._make_infer(quant=self.quant)
 
+    def quantize_qat(self, labeled_batches, steps: int = 300,
+                     lr: float = 1e-4,
+                     percentile: float = 99.99) -> list:
+        """Int8 via quantization-aware fine-tuning (training/qat.py).
+
+        Like :meth:`quantize`, but before switching to int8 the weights
+        are fine-tuned for ``steps`` optimizer updates with the forward
+        fake-quantized (straight-through-estimator gradients), which
+        recovers most of the post-training-int8 accuracy cost.  Needs
+        LABELED data: ``labeled_batches`` is a sequence of dicts with
+        ``img`` (B, S, S) normalized depth and ``jt_uvd`` (B, J, 3)
+        normalized targets (build from a dataset with
+        ``awr_tpu.training.qat.batches_from_dataset``).  Returns the
+        per-step loss history.
+        """
+        from awr_tpu.training.qat import finetune
+
+        self.params, self.batch_stats, self.quant, losses = finetune(
+            self.cfg, self.params, self.batch_stats, labeled_batches,
+            steps=steps, lr=lr, percentile=percentile)
+        if self.mesh is not None:
+            from awr_tpu.parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.batch_stats = jax.device_put(self.batch_stats, rep)
+            self.quant = jax.device_put(self.quant, rep)
+        self.model = build_model(self.cfg.net, self.cfg.jt_num,
+                                 self.cfg.downsample,
+                                 dtype=DTYPES[self.cfg.compute_dtype],
+                                 quant_mode="int8")
+        self._infer = self._make_infer(quant=self.quant)
+        return losses
+
     # ------------------------------------------------------------ export
     def export_stablehlo(self, batch_size: int,
                          path: Optional[str] = None,

@@ -43,12 +43,17 @@ def _stacked(out: jax.Array) -> jax.Array:
     return out if out.ndim == 5 else out[None]
 
 
-def make_train_step(model, optimizer, cfg, mesh=None):
+def make_train_step(model, optimizer, cfg, mesh=None, quant=None):
     """Returns ``train_step(state, batch) -> (state, metrics)``.
 
     ``mesh`` (optional, >1 devices): shard_maps the Pallas encode/decode
     over the batch axis so the kernels run on local shards instead of
     forcing an all-gather of the dense maps (ops/decode.py docstring).
+
+    ``quant``: frozen calibrated activation scales for a
+    ``quant_mode='qat'`` model (models/quant.py) — the QAT fine-tune
+    path (training/qat.py) closes the scales over the step like
+    make_eval_step does.
     """
     kernel = cfg.kernel_size
     feat = cfg.feature_size
@@ -66,9 +71,12 @@ def make_train_step(model, optimizer, cfg, mesh=None):
                                    use_pallas=cfg.use_pallas, mesh=mesh)
 
         def loss_fn(params):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if quant is not None:
+                variables["quant"] = quant
             out, mut = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                img[..., None], train=True, mutable=["batch_stats"],
+                variables, img[..., None], train=True,
+                mutable=["batch_stats"],
             )
             preds = _stacked(out)
             nstack = preds.shape[0]

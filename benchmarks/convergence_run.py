@@ -46,6 +46,14 @@ def main():
                          "(models/quant.py) on train batches and report "
                          "the int8 held-out MPE next to the fp one — "
                          "the accuracy cost of the int8 speedup")
+    ap.add_argument("--qat-steps", type=int, default=0,
+                    help="with --int8-eval: additionally run N steps of "
+                         "quantization-aware fine-tuning "
+                         "(training/qat.py, STE fake-quant, frozen "
+                         "scales) and report the QAT int8 held-out MPE "
+                         "— how much of the PTQ accuracy cost QAT "
+                         "recovers")
+    ap.add_argument("--qat-lr", type=float, default=1e-4)
     args = ap.parse_args()
 
     from awr_tpu.config import Config
@@ -100,6 +108,29 @@ def main():
             final_state_fp_mpe_mm=round(float(fp_final_mpe), 3),
             final_state_int8_mpe_mm=round(float(int8_mpe), 3),
             int8_mpe_delta_mm=round(float(int8_mpe - fp_final_mpe), 3))
+
+        if args.qat_steps > 0:
+            # QAT: fine-tune the trained weights to the int8 grid with
+            # the SAME frozen scales, then score the int8 path again —
+            # the delta vs PTQ is the accuracy QAT recovers.
+            from awr_tpu.training.qat import finetune
+
+            qat_batches = [
+                {"img": x["img"], "jt_uvd": x["jt_uvd"]}
+                for x in itertools.islice(
+                    train.batches(32), args.train_size // 32)]
+            p1, bs1, _, losses = finetune(
+                cfg, tr.state.params, tr.state.batch_stats,
+                qat_batches, steps=args.qat_steps, lr=args.qat_lr,
+                quant=quant)
+            tr.state = tr.state._replace(params=p1, batch_stats=bs1)
+            qat_mpe, _ = tr.test(epoch=-4)
+            int8_metrics.update(
+                qat_steps=args.qat_steps,
+                qat_int8_mpe_mm=round(float(qat_mpe), 3),
+                qat_mpe_delta_mm=round(float(qat_mpe - fp_final_mpe), 3),
+                qat_loss_first=round(losses[0], 6),
+                qat_loss_last=round(losses[-1], 6))
     tr.close()
 
     improvement = init_mpe / final_mpe

@@ -200,3 +200,112 @@ def test_hourglass_int8_forward_joints_close_to_fp32():
     jt_q8 = offset2joint_softmax(out_q8, img, 0.4)
     err = float(jnp.max(jnp.abs(jt_fp - jt_q8)))
     assert err < 0.05, f"int8 joint drift {err:.4f} cube units"
+
+
+# ---------------------------------------------------------------- QAT
+
+def test_qat_forward_matches_int8_forward():
+    """'qat' (fake-quant, eval) and 'int8' (integer conv) are the same
+    computation: conv(xq*s_in, wq*s_w) == conv(xq, wq)*s_in*s_w up to
+    fp32 accumulation rounding — single layers agree to ~1e-6.  Through
+    the FULL net the paths may pick different sides of a rounding
+    boundary (a +-1 int8 code flip early on cascades), so the whole-
+    network bound is looser; decoded joints must still agree to well
+    under the fp-vs-int8 drift tolerance (0.05 cube units)."""
+    jt_num = 14
+    fp = build_model("resnet_18", jt_num)
+    cal = build_model("resnet_18", jt_num, quant_mode="calib")
+    q8 = build_model("resnet_18", jt_num, quant_mode="int8")
+    qat = build_model("resnet_18", jt_num, quant_mode="qat")
+
+    img = jnp.asarray(np.random.RandomState(3).uniform(
+        -1, 1, (2, 64, 64)).astype(np.float32))
+    v = fp.init(KEY, img[..., None], train=False)
+    params, bs = v["params"], v["batch_stats"]
+    quant = calibrate(cal, params, bs, [np.asarray(img)])
+
+    out_q8 = q8.apply({"params": params, "batch_stats": bs,
+                       "quant": quant}, img[..., None], train=False)
+    out_qat = qat.apply({"params": params, "batch_stats": bs,
+                         "quant": quant}, img[..., None], train=False)
+    scale = float(jnp.max(jnp.abs(out_q8))) + 1e-8
+    err = float(jnp.max(jnp.abs(out_q8 - out_qat))) / scale
+    assert err < 0.05, f"qat/int8 forward diverge: rel err {err:.2e}"
+
+    jt_q8 = offset2joint_softmax(out_q8, img, 1.0)
+    jt_qat = offset2joint_softmax(out_qat, img, 1.0)
+    jt_err = float(jnp.max(jnp.abs(jt_q8 - jt_qat)))
+    assert jt_err < 0.02, f"qat/int8 joint drift {jt_err:.4f} cube units"
+
+
+def test_qat_gradients_flow_through_rounding():
+    """The straight-through estimator must pass finite, nonzero
+    gradients to every conv/deconv kernel despite round() having zero
+    gradient almost everywhere."""
+    jt_num = 14
+    cal = build_model("resnet_18", jt_num, quant_mode="calib")
+    qat = build_model("resnet_18", jt_num, quant_mode="qat")
+    img = jnp.asarray(np.random.RandomState(4).uniform(
+        -1, 1, (2, 64, 64)).astype(np.float32))
+    v = qat.init(KEY, img[..., None], train=False)
+    params, bs = v["params"], v["batch_stats"]
+    quant = calibrate(cal, params, bs, [np.asarray(img)])
+
+    def loss(p):
+        out, _ = qat.apply(
+            {"params": p, "batch_stats": bs, "quant": quant},
+            img[..., None], train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    # every kernel leaf gets signal (biases of dead ReLUs may be 0)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    kernel_norms = [float(jnp.linalg.norm(g)) for path, g in flat
+                    if "kernel" in jax.tree_util.keystr(path)]
+    assert kernel_norms and all(n > 0 for n in kernel_norms)
+
+
+def test_qat_finetune_reduces_int8_loss():
+    """training/qat.finetune: a short STE fine-tune must reduce the
+    int8-serving eval loss on the tuning batch (it optimizes exactly
+    that objective; scales are frozen so before/after are comparable)."""
+    from awr_tpu.config import Config
+    from awr_tpu.training.qat import finetune
+    from awr_tpu.training.steps import make_eval_step
+
+    cfg = Config(net="resnet_18", kernel_size=1.0, img_size=32,
+                 jt_num=14)
+    fp = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    cal = build_model(cfg.net, cfg.jt_num, cfg.downsample,
+                      quant_mode="calib")
+    q8 = build_model(cfg.net, cfg.jt_num, cfg.downsample,
+                     quant_mode="int8")
+
+    rs = np.random.RandomState(5)
+    batch = {
+        "img": rs.uniform(-1, 1, (4, 32, 32)).astype(np.float32),
+        "jt_uvd": rs.uniform(-0.8, 0.8, (4, 14, 3)).astype(np.float32),
+    }
+    img = jnp.asarray(batch["img"])
+    v = fp.init(KEY, img[..., None], train=True)
+    params0, bs0 = v["params"], v["batch_stats"]
+    quant = calibrate(cal, params0, bs0, [batch["img"]])
+
+    eval_step = jax.jit(make_eval_step(q8, cfg, quant=quant))
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss_before = float(eval_step(params0, bs0, dev_batch)["loss"])
+
+    params1, bs1, quant1, losses = finetune(
+        cfg, params0, bs0, [batch], steps=10, lr=1e-3, quant=quant)
+    loss_after = float(eval_step(params1, bs1, dev_batch)["loss"])
+
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    assert loss_after < loss_before, (loss_before, loss_after)
+    # frozen-observer contract: the scales did not move
+    for a, b in zip(jax.tree_util.tree_leaves(quant),
+                    jax.tree_util.tree_leaves(quant1)):
+        assert float(a) == float(b)
+    # param tree unchanged structurally (checkpoint-compatible)
+    assert tree_shapes(params1) == tree_shapes(params0)
