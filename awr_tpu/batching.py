@@ -1,0 +1,184 @@
+"""Dynamic request batching for serving: coalesce concurrent single-
+frame requests into device batches.
+
+The reference has no serving story at all (test.py is an offline eval
+loop); serving.Predictor already gives one-call batch inference with
+power-of-two executable bucketing.  This module adds the piece a
+production deployment puts in front of it: a thread-safe queue that
+accepts requests from many client threads, groups everything that
+arrives within a small window into ONE device dispatch, and hands each
+client back its own rows.  Batching is where TPU serving throughput
+comes from — the measured chip numbers (benchmarks/
+sweep_r02_smallbatch.jsonl) show batch-8 costs the same wall time as
+batch-1 (1.06 ms/frame vs 8.4), so coalescing 8 concurrent requests is
+a ~8x throughput win at ~zero latency cost.
+
+Design notes (TPU-shaped):
+- One dispatcher thread owns the device; clients never touch JAX
+  state, so there is no cross-thread tracing or dispatch contention.
+- The dispatcher drains WHATEVER is queued (up to ``max_batch``) the
+  moment it goes idle; ``max_wait_ms`` only caps how long the FIRST
+  request of a group waits for company while the device is free.
+  Under load the device never sits idle waiting for a timer.
+- Predictor's bucketing pads each group to a power-of-two, so the
+  number of distinct compiled executables stays logarithmic in
+  ``max_batch`` no matter what group sizes the traffic produces.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class _Request:
+    __slots__ = ("imgs", "centers", "cubes", "future")
+
+    def __init__(self, imgs, centers, cubes, future):
+        self.imgs = imgs
+        self.centers = centers
+        self.cubes = cubes
+        self.future = future
+
+
+class BatchingPredictor:
+    """Thread-safe dynamic-batching front end for a
+    :class:`~awr_tpu.serving.Predictor`.
+
+    Usage::
+
+        bp = BatchingPredictor(predictor, max_batch=64, max_wait_ms=2.0)
+        fut = bp.submit(frame, center_xyz)       # from any thread
+        joints = fut.result()                    # (J, 3) camera uvd
+        ...
+        bp.close()
+
+    ``submit`` never blocks on the device; it returns a
+    ``concurrent.futures.Future``.  ``predict`` is the blocking
+    convenience wrapper.  All requests in a drained group are served by
+    one ``Predictor.predict`` call (one device dispatch per bucket).
+    """
+
+    def __init__(self, predictor, max_batch: int = 64,
+                 max_wait_ms: float = 2.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._p = predictor
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._closed = False
+        # observability: groups dispatched and frames served so far
+        self.n_dispatches = 0
+        self.n_frames = 0
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="awr-batching-dispatch")
+        self._worker.start()
+
+    # ------------------------------------------------------------ client
+    def submit(self, img, center_xyz, cube=None) -> Future:
+        """Enqueue ONE frame; returns a Future of (J, 3) camera-coord
+        joints (same convention as Predictor.predict rows)."""
+        if self._closed:
+            raise RuntimeError("BatchingPredictor is closed")
+        img = np.asarray(img, np.float32)
+        if img.ndim != 2:
+            raise ValueError(f"submit takes one (H, W) frame, got "
+                             f"{img.shape}")
+        fut: Future = Future()
+        self._q.put(_Request(img[None], np.asarray(center_xyz,
+                                                   np.float64)[None],
+                             None if cube is None
+                             else np.asarray(cube, np.float64)[None],
+                             fut))
+        return fut
+
+    def predict(self, img, center_xyz, cube=None, timeout=None):
+        """Blocking single-frame convenience wrapper around
+        :meth:`submit`."""
+        return self.submit(img, center_xyz, cube).result(timeout=timeout)
+
+    def close(self, wait: bool = True):
+        """Stop accepting requests; drain the queue, then stop the
+        dispatcher.  Pending futures still complete."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)  # sentinel
+        if wait:
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -------------------------------------------------------- dispatcher
+    def _drain(self) -> Tuple[List[_Request], bool]:
+        """Collect the next group: block for the first request, then
+        wait at most ``max_wait_s`` for more, then sweep whatever is
+        queued up to ``max_batch``.  Returns (group, sentinel_seen)."""
+        first = self._q.get()
+        if first is None:
+            return [], True
+        group = [first]
+        deadline_wait = self.max_wait_s
+        stop = False
+        while len(group) < self.max_batch:
+            try:
+                nxt = self._q.get(timeout=deadline_wait)
+            except queue.Empty:
+                break
+            if nxt is None:
+                stop = True
+                break
+            group.append(nxt)
+            # after the grace window only sweep what is already queued
+            deadline_wait = 0.0
+        return group, stop
+
+    def _run(self):
+        while True:
+            group, stop = self._drain()
+            if group:
+                self._dispatch(group)
+            if stop:
+                # propagate the sentinel consumed mid-drain? No: _drain
+                # returns stop only after consuming it; exit after the
+                # final group completes.
+                break
+
+    def _dispatch(self, all_requests: Sequence[_Request]):
+        # clients may send different camera resolutions; frames only
+        # stack per shape, so dispatch one device call per shape group
+        by_shape = {}
+        for r in all_requests:
+            by_shape.setdefault(r.imgs.shape[1:], []).append(r)
+        for group in by_shape.values():
+            self._dispatch_same_shape(group)
+
+    def _dispatch_same_shape(self, group: Sequence[_Request]):
+        try:
+            imgs = np.concatenate([r.imgs for r in group])
+            centers = np.concatenate([r.centers for r in group])
+            if any(r.cubes is not None for r in group):
+                default = np.asarray(self._p.cfg.cube, np.float64)
+                cubes = np.concatenate([
+                    r.cubes if r.cubes is not None else default[None]
+                    for r in group])
+            else:
+                cubes = None
+            out = self._p.predict(imgs, centers, cubes)
+            self.n_dispatches += 1
+            self.n_frames += len(group)
+            for i, r in enumerate(group):
+                r.future.set_result(out[i])
+        except BaseException as e:  # noqa: BLE001 - must fail futures
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(e)

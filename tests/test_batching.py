@@ -1,0 +1,132 @@
+"""Dynamic request batching for serving (awr_tpu/batching.py).
+
+Beyond-reference capability (the reference has no serving surface);
+the bar is our own contract: coalesced groups produce exactly the rows
+a direct Predictor.predict produces, from any number of client
+threads, with errors delivered to the failing request's future.
+"""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from awr_tpu.batching import BatchingPredictor
+from awr_tpu.config import Config
+from awr_tpu.data.synthetic import SyntheticHandDataset
+from awr_tpu.models import build_model
+from awr_tpu.serving import Predictor
+
+IMG = 32
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = Config(net="resnet_18", kernel_size=1.0, img_size=IMG,
+                 use_pallas=False)
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 1)),
+                   train=True)
+    return Predictor(cfg, {"params": v["params"],
+                           "batch_stats": v["batch_stats"]})
+
+
+@pytest.fixture(scope="module")
+def frames():
+    ds = SyntheticHandDataset(12, 14, IMG, phase="test", seed=3,
+                              layout="grid")
+    imgs, centers = [], []
+    for i in range(12):
+        item = ds.raw_item(i)
+        imgs.append(item[0])
+        centers.append(item[2])
+    return np.stack(imgs), np.stack(centers)
+
+
+def test_batched_results_match_direct_predict(predictor, frames):
+    imgs, centers = frames
+    direct = predictor.predict(imgs, centers)
+    with BatchingPredictor(predictor, max_batch=16,
+                           max_wait_ms=200.0) as bp:
+        futs = [bp.submit(imgs[i], centers[i]) for i in range(len(imgs))]
+        outs = np.stack([f.result(timeout=60) for f in futs])
+        assert bp.n_frames == len(imgs)
+        # the 200ms grace window must coalesce the burst into few
+        # device dispatches — batching is the point of this class
+        assert bp.n_dispatches < len(imgs)
+    np.testing.assert_allclose(outs, direct, rtol=1e-4, atol=1e-3)
+
+
+def test_multithreaded_clients(predictor, frames):
+    imgs, centers = frames
+    direct = predictor.predict(imgs, centers)
+    results = {}
+    lock = threading.Lock()
+
+    with BatchingPredictor(predictor, max_batch=8,
+                           max_wait_ms=20.0) as bp:
+        def client(i):
+            out = bp.predict(imgs[i], centers[i], timeout=60)
+            with lock:
+                results[i] = out
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    for i in range(len(imgs)):
+        np.testing.assert_allclose(results[i], direct[i],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_submit_after_close_raises(predictor, frames):
+    imgs, centers = frames
+    bp = BatchingPredictor(predictor)
+    bp.close()
+    with pytest.raises(RuntimeError):
+        bp.submit(imgs[0], centers[0])
+
+
+def test_submit_rejects_batched_input(predictor, frames):
+    imgs, centers = frames
+    with BatchingPredictor(predictor) as bp:
+        with pytest.raises(ValueError):
+            bp.submit(imgs, centers)  # (B, H, W) — submit takes ONE
+
+
+def test_error_delivered_to_future(predictor, frames):
+    """A request that fails inside the dispatcher fails ITS future
+    instead of killing the worker; later requests still serve."""
+    imgs, centers = frames
+    with BatchingPredictor(predictor, max_wait_ms=1.0) as bp:
+        bad = bp.submit(np.full((IMG, IMG), np.nan, np.float32),
+                        np.array([np.nan, np.nan, 0.0]))
+        exc_or_nan = None
+        try:
+            out = bad.result(timeout=60)
+            exc_or_nan = bool(np.isnan(out).any())
+        except Exception:
+            exc_or_nan = True
+        assert exc_or_nan  # either path: the request did not fake a pose
+        good = bp.predict(imgs[0], centers[0], timeout=60)
+        assert np.isfinite(good).all()
+
+
+def test_mixed_resolutions_one_burst(predictor, frames):
+    """Frames of different camera sizes in one drain group each get a
+    per-shape dispatch rather than a stacking error."""
+    imgs, centers = frames
+    big = np.pad(imgs[1], ((0, 8), (0, 8)))  # different H0 x W0
+    with BatchingPredictor(predictor, max_wait_ms=100.0) as bp:
+        f_small = bp.submit(imgs[0], centers[0])
+        f_big = bp.submit(big, centers[1])
+        out_s = f_small.result(timeout=60)
+        out_b = f_big.result(timeout=60)
+    direct_s = predictor.predict(imgs[:1], centers[:1])[0]
+    direct_b = predictor.predict(big[None], centers[1:2])[0]
+    np.testing.assert_allclose(out_s, direct_s, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(out_b, direct_b, rtol=1e-4, atol=1e-3)
