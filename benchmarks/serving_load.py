@@ -1,0 +1,183 @@
+"""Serving throughput under concurrent load: BatchingPredictor vs a
+naive sequential client.
+
+The small-batch latency rows (sweep_r02_smallbatch.jsonl) showed
+batch-8 costs the same device time as batch-1, so coalescing concurrent
+requests is the serving-throughput lever.  This measures it end to end
+through the real serving surface — ``awr_tpu.batching.BatchingPredictor``
+over ``serving.Predictor.predict`` (device crop/normalize + forward +
+adaptive decode + host de-normalization per request):
+
+- ``sequential``: one client, one frame per call, host-synced — what a
+  naive deployment gets (pays the full dispatch round-trip per frame).
+- ``batched_cN``: N closed-loop client threads, each submitting one
+  frame and waiting for its own result before sending the next; the
+  dispatcher coalesces whatever is queued into one device call per
+  drain group.
+
+Timing honesty (BENCH_METHODOLOGY.md): every frame is unique
+(os.urandom-salted), and every client host-materializes its result
+before sending its next request, so the tunnel's dispatch memoization
+cannot serve any request without executing and a closed loop cannot run
+ahead of real completions.  No MFU gate applies: these numbers are
+dispatch-bound and sit far BELOW the compute ceiling (bench.py's
+chained headline is the compute-bound number; this benchmark measures
+the serving stack, where request latency, not FLOPs, is the resource).
+
+Raw frames are 160x160 mm-depth images with matched intrinsics (small
+enough that the tunnel upload does not dominate; the crop path is
+identical for any H0 x W0).
+
+Usage: python benchmarks/serving_load.py [--net resnet_18]
+       [--requests 256] [--concurrency 8 32 128]
+       [--out benchmarks/serving_load_r02.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+RAW = 160  # raw camera frame side
+PARAS = (200.0, 200.0, 80.0, 80.0)  # fx fy cx cy matched to RAW
+FLIP = -1
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--net", default="resnet_18")
+    ap.add_argument("--img-size", type=int, default=128)
+    ap.add_argument("--requests", type=int, default=256,
+                    help="total frames per concurrent scenario")
+    ap.add_argument("--sequential-requests", type=int, default=32,
+                    help="frames for the (slow) sequential scenario")
+    ap.add_argument("--concurrency", type=int, nargs="+",
+                    default=[8, 32, 128])
+    ap.add_argument("--max-batch", type=int, default=256)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--out", default="benchmarks/serving_load_r02.jsonl")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awr_tpu.batching import BatchingPredictor
+    from awr_tpu.config import Config
+    from awr_tpu.models import build_model
+    from awr_tpu.serving import Predictor
+
+    cfg = Config(net=args.net,
+                 kernel_size=1.0 if args.net.startswith("resnet") else 0.4,
+                 img_size=args.img_size, compute_dtype="bfloat16",
+                 use_pallas=False)
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample,
+                        dtype=jnp.bfloat16)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, args.img_size, args.img_size, 1)),
+                   train=True)
+    pred = Predictor(cfg, {"params": v["params"],
+                           "batch_stats": v["batch_stats"]},
+                     paras=PARAS, flip=FLIP)
+
+    salt = int.from_bytes(os.urandom(4), "little") / 2.0**32
+    rng = np.random.RandomState(0)
+    center = np.array([0.0, 0.0, 500.0])  # projects to (cx, cy)
+
+    # Pre-generate a pool of globally unique frames (RandomState is not
+    # thread-safe, and every request must carry distinct bits so no
+    # dispatch is memoizable): hand-depth noise around the 500mm center
+    # inside the 300mm cube, salted per run and per request.
+    n_total = (args.sequential_requests + 2 * args.max_batch
+               + len(args.concurrency) * args.requests + 64)
+    pool = rng.uniform(420.0, 580.0,
+                       (n_total, RAW, RAW)).astype(np.float32)
+    pool[:, 0, 0] = 500.0 + salt + np.arange(n_total) * 1e-3
+    import itertools
+
+    _cursor = itertools.count()  # next() is atomic under the GIL
+
+    def frame(_i=None):
+        return pool[next(_cursor) % n_total]
+
+    rows = []
+
+    # warm every power-of-two bucket executable this run will hit
+    # (remote compiles would otherwise pollute the timings)
+    b = 1
+    top = min(args.max_batch, 2 * max(args.concurrency))
+    while b <= top:
+        pred.predict(np.stack([frame(i) for i in range(b)]),
+                     np.tile(center, (b, 1)))
+        b *= 2
+
+    # ---- sequential single-frame client (host-synced per request)
+    n_seq = args.sequential_requests
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(n_seq):
+        out = pred.predict(frame(i)[None], center[None])
+        acc += float(out.sum())  # host materialization per request
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+    rows.append(dict(mode="sequential", requests=n_seq,
+                     wall_s=round(dt, 3),
+                     served_fps=round(n_seq / dt, 1),
+                     mean_latency_ms=round(1000 * dt / n_seq, 2)))
+    print(json.dumps(rows[-1]))
+
+    # ---- concurrent closed-loop clients through the batching layer
+    for conc in args.concurrency:
+        per_client = max(1, args.requests // conc)
+        latencies = []
+        lock = threading.Lock()
+        with BatchingPredictor(pred, max_batch=args.max_batch,
+                               max_wait_ms=args.max_wait_ms) as bp:
+            t0 = time.perf_counter()
+
+            def client(cid):
+                for k in range(per_client):
+                    t1 = time.perf_counter()
+                    fut = bp.submit(frame(cid * per_client + k), center)
+                    r = fut.result(timeout=600)
+                    lat = time.perf_counter() - t1
+                    assert np.isfinite(np.asarray(r)).all()
+                    with lock:
+                        latencies.append(lat)
+
+            threads = [threading.Thread(target=client, args=(c,))
+                       for c in range(conc)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            n_disp = bp.n_dispatches
+            n_frames = bp.n_frames
+        served = conc * per_client
+        rows.append(dict(
+            mode=f"batched_c{conc}", requests=served,
+            wall_s=round(dt, 3),
+            served_fps=round(served / dt, 1),
+            mean_latency_ms=round(
+                1000 * float(np.mean(latencies)), 2),
+            p99_latency_ms=round(
+                1000 * float(np.percentile(latencies, 99)), 2),
+            dispatches=n_disp,
+            frames_per_dispatch=round(n_frames / max(n_disp, 1), 1)))
+        print(json.dumps(rows[-1]))
+
+    with open(args.out, "a") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()
