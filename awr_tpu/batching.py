@@ -104,13 +104,25 @@ class BatchingPredictor:
 
     def close(self, wait: bool = True):
         """Stop accepting requests; drain the queue, then stop the
-        dispatcher.  Pending futures still complete."""
+        dispatcher.  Pending futures still complete; a request that
+        races past the closed check as the sentinel lands is failed
+        rather than left hanging."""
         if self._closed:
             return
         self._closed = True
         self._q.put(None)  # sentinel
         if wait:
             self._worker.join()
+            # fail any request enqueued after the sentinel by a submit
+            # that won the race against the closed flag
+            while True:
+                try:
+                    r = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if r is not None and not r.future.done():
+                    r.future.set_exception(
+                        RuntimeError("BatchingPredictor closed"))
 
     def __enter__(self):
         return self
