@@ -130,3 +130,21 @@ def test_mixed_resolutions_one_burst(predictor, frames):
     direct_b = predictor.predict(big[None], centers[1:2])[0]
     np.testing.assert_allclose(out_s, direct_s, rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(out_b, direct_b, rtol=1e-4, atol=1e-3)
+
+
+def test_batching_over_spatial_mesh(predictor, frames):
+    """BatchingPredictor composes with the latency-mode spatial mesh
+    (image-H sharded over all devices): coalesced groups produce the
+    same joints as the single-device path."""
+    from awr_tpu.parallel.mesh import spatial_mesh
+
+    imgs, centers = frames
+    cfg = predictor.cfg
+    sp = Predictor(cfg, {"params": predictor.params,
+                         "batch_stats": predictor.batch_stats},
+                   mesh=spatial_mesh())
+    direct = predictor.predict(imgs[:4], centers[:4])
+    with BatchingPredictor(sp, max_batch=8, max_wait_ms=100.0) as bp:
+        futs = [bp.submit(imgs[i], centers[i]) for i in range(4)]
+        outs = np.stack([f.result(timeout=120) for f in futs])
+    np.testing.assert_allclose(outs, direct, rtol=1e-3, atol=5e-3)
