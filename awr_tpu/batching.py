@@ -72,6 +72,10 @@ class BatchingPredictor:
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
+        # serializes the closed-check-then-enqueue in submit() against
+        # the flag-set-then-sentinel in close(): without it a submit
+        # could land its request BEHIND the sentinel and hang forever
+        self._submit_lock = threading.Lock()
         # observability: groups dispatched and frames served so far
         self.n_dispatches = 0
         self.n_frames = 0
@@ -83,18 +87,20 @@ class BatchingPredictor:
     def submit(self, img, center_xyz, cube=None) -> Future:
         """Enqueue ONE frame; returns a Future of (J, 3) camera-coord
         joints (same convention as Predictor.predict rows)."""
-        if self._closed:
-            raise RuntimeError("BatchingPredictor is closed")
         img = np.asarray(img, np.float32)
         if img.ndim != 2:
             raise ValueError(f"submit takes one (H, W) frame, got "
                              f"{img.shape}")
         fut: Future = Future()
-        self._q.put(_Request(img[None], np.asarray(center_xyz,
-                                                   np.float64)[None],
-                             None if cube is None
-                             else np.asarray(cube, np.float64)[None],
-                             fut))
+        req = _Request(img[None],
+                       np.asarray(center_xyz, np.float64)[None],
+                       None if cube is None
+                       else np.asarray(cube, np.float64)[None],
+                       fut)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("BatchingPredictor is closed")
+            self._q.put(req)
         return fut
 
     def predict(self, img, center_xyz, cube=None, timeout=None):
@@ -107,22 +113,13 @@ class BatchingPredictor:
         dispatcher.  Pending futures still complete; a request that
         races past the closed check as the sentinel lands is failed
         rather than left hanging."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)  # sentinel
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # sentinel; no submit can enqueue after
         if wait:
             self._worker.join()
-            # fail any request enqueued after the sentinel by a submit
-            # that won the race against the closed flag
-            while True:
-                try:
-                    r = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if r is not None and not r.future.done():
-                    r.future.set_exception(
-                        RuntimeError("BatchingPredictor closed"))
 
     def __enter__(self):
         return self
@@ -191,6 +188,13 @@ class BatchingPredictor:
             for i, r in enumerate(group):
                 r.future.set_result(out[i])
         except BaseException as e:  # noqa: BLE001 - must fail futures
-            for r in group:
-                if not r.future.done():
-                    r.future.set_exception(e)
+            if len(group) > 1:
+                # one malformed request must not fail its co-batched
+                # neighbours: retry each request alone so only the
+                # offender's future carries the exception
+                for r in group:
+                    self._dispatch_same_shape([r])
+                return
+            r = group[0]
+            if not r.future.done():
+                r.future.set_exception(e)

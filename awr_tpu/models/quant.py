@@ -175,16 +175,23 @@ class QuantConv(nn.Module):
                 # arithmetic, so the loss being optimized IS the int8
                 # serving loss; STE lets gradients adapt the fp weights
                 # to the int8 grid.  Scales are frozen (module
-                # docstring: freeze-observer QAT).
+                # docstring: freeze-observer QAT).  The conv runs in
+                # fp32 at HIGHEST precision regardless of the global
+                # matmul setting: at the default (bf16-class) precision
+                # the scaled operands would truncate to bf16 and the
+                # QAT objective would drift from the exact-int32 int8
+                # path it stands in for.
                 s = _qat_act_scale(x, act_scale.value)
                 xq, s_in = _quantize_acts(x, s)
                 x_fq = _ste(x, xq.astype(jnp.float32) * s_in)
                 wq, s_w = _quantize_weights(kernel, (0, 1, 2))
                 w_fq = _ste(kernel, wq.astype(jnp.float32) * s_w)
                 y = lax.conv_general_dilated(
-                    x_fq.astype(self.dtype), w_fq.astype(self.dtype),
+                    x_fq, w_fq,
                     self.strides, self.padding,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=lax.Precision.HIGHEST,
+                ).astype(self.dtype)
             else:
                 raise ValueError(f"unknown quant mode {self.mode!r}")
 
@@ -218,7 +225,7 @@ class QuantConvTranspose(nn.Module):
         kshape = (kh, kw, self.features, x.shape[-1])
         kernel = self.param("kernel", self.kernel_init, kshape)
 
-        def deconv(lhs, kern, prefer=None):
+        def deconv(lhs, kern, prefer=None, precision=None):
             # 'SAME' padding of flax ConvTranspose at k4/s2 == torch
             # ConvTranspose2d(k4, s2, p1): lhs-dilated conv with the
             # spatially-flipped kernel, pad (k-1-p)=2 then trim per
@@ -230,7 +237,8 @@ class QuantConvTranspose(nn.Module):
                 padding=((kh - 2, kh - 2), (kw - 2, kw - 2)),
                 lhs_dilation=self.strides,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=prefer)
+                preferred_element_type=prefer,
+                precision=precision)
 
         if self.mode == "off":
             return deconv(x.astype(self.dtype), kernel.astype(self.dtype))
@@ -254,14 +262,16 @@ class QuantConvTranspose(nn.Module):
             return (acc.astype(jnp.float32)
                     * (s_in * s_w[0, 0, :, 0])).astype(self.dtype)
         if self.mode == "qat":
-            # fake-quant + STE; frozen scales (see QuantConv 'qat')
+            # fake-quant + STE; frozen scales; explicit HIGHEST conv
+            # precision (see QuantConv 'qat' for why)
             s = _qat_act_scale(x, act_scale.value)
             xq, s_in = _quantize_acts(x, s)
             x_fq = _ste(x, xq.astype(jnp.float32) * s_in)
             wq, s_w = _quantize_weights(kernel, (0, 1, 3))
             w_fq = _ste(kernel, wq.astype(jnp.float32) * s_w)
-            return deconv(x_fq.astype(self.dtype),
-                          w_fq.astype(self.dtype))
+            return deconv(x_fq, w_fq,
+                          precision=lax.Precision.HIGHEST
+                          ).astype(self.dtype)
         raise ValueError(f"unknown quant mode {self.mode!r}")
 
 

@@ -141,6 +141,19 @@ class Predictor:
         batches = [imgs[i:i + 32] for i in range(0, len(imgs), 32)]
         self.quant = calibrate(cal_model, self.params, self.batch_stats,
                                batches, percentile=percentile)
+        self._switch_int8()
+
+    def _switch_int8(self) -> None:
+        """Swap the serving graph to quant_mode='int8' using the
+        current self.quant scales (shared tail of quantize /
+        quantize_qat)."""
+        if self.mesh is not None:
+            from awr_tpu.parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.batch_stats = jax.device_put(self.batch_stats, rep)
+            self.quant = jax.device_put(self.quant, rep)
         self.model = build_model(self.cfg.net, self.cfg.jt_num,
                                  self.cfg.downsample,
                                  dtype=DTYPES[self.cfg.compute_dtype],
@@ -164,21 +177,21 @@ class Predictor:
         """
         from awr_tpu.training.qat import finetune
 
-        self.params, self.batch_stats, self.quant, losses = finetune(
-            self.cfg, self.params, self.batch_stats, labeled_batches,
-            steps=steps, lr=lr, percentile=percentile)
+        # The fine-tune runs single-device (its batches are plain
+        # arrays, not mesh-sharded), so pull any mesh-replicated
+        # variables to host first — mixing mesh-committed params with
+        # single-device batches inside one jit is an error.
+        # _switch_int8 re-replicates afterwards.  PTQ scales from an
+        # earlier quantize() are reused instead of recalibrating.
+        params, batch_stats = self.params, self.batch_stats
+        quant = getattr(self, "quant", None)
         if self.mesh is not None:
-            from awr_tpu.parallel.mesh import replicated
-
-            rep = replicated(self.mesh)
-            self.params = jax.device_put(self.params, rep)
-            self.batch_stats = jax.device_put(self.batch_stats, rep)
-            self.quant = jax.device_put(self.quant, rep)
-        self.model = build_model(self.cfg.net, self.cfg.jt_num,
-                                 self.cfg.downsample,
-                                 dtype=DTYPES[self.cfg.compute_dtype],
-                                 quant_mode="int8")
-        self._infer = self._make_infer(quant=self.quant)
+            params, batch_stats, quant = jax.device_get(
+                (params, batch_stats, quant))
+        self.params, self.batch_stats, self.quant, losses = finetune(
+            self.cfg, params, batch_stats, labeled_batches,
+            steps=steps, lr=lr, percentile=percentile, quant=quant)
+        self._switch_int8()
         return losses
 
     # ------------------------------------------------------------ export

@@ -87,10 +87,15 @@ def finetune(cfg: Config, params, batch_stats,
     state = TrainState(params=params, batch_stats=batch_stats,
                        opt_state=optimizer.init(params),
                        step=jnp.zeros((), jnp.int32))
+    # NO buffer donation here, deliberately: the initial state wraps
+    # the CALLER'S params/batch_stats arrays (e.g. a live Predictor's
+    # or Trainer's), and donating them would delete buffers the caller
+    # still owns — leaving it permanently broken if the fine-tune
+    # fails midway.  A few hundred steps at fine-tune batch sizes do
+    # not need the donation memory savings.
     step_fn = jax.jit(
         make_train_step(qat_model, optimizer, cfg, mesh=mesh,
-                        quant=quant),
-        donate_argnums=(0,))
+                        quant=quant))
 
     dev_batches = [
         {k: jnp.asarray(np.asarray(b[k], np.float32))

@@ -95,8 +95,12 @@ def main():
     # thread-safe, and every request must carry distinct bits so no
     # dispatch is memoizable): hand-depth noise around the 500mm center
     # inside the 300mm cube, salted per run and per request.
-    n_total = (args.sequential_requests + 2 * args.max_batch
-               + len(args.concurrency) * args.requests + 64)
+    # Exact budget: warmup (<= 2*max_batch frames over the doubling
+    # ladder), sequential at n and 2n (linearity gate), and each
+    # concurrency scenario at per_client and 2*per_client.
+    n_total = 4 * args.max_batch + 3 * args.sequential_requests
+    for conc in args.concurrency:
+        n_total += 3 * conc * max(1, args.requests // conc)
     pool = rng.uniform(420.0, 580.0,
                        (n_total, RAW, RAW)).astype(np.float32)
     pool[:, 0, 0] = 500.0 + salt + np.arange(n_total) * 1e-3
@@ -105,7 +109,19 @@ def main():
     _cursor = itertools.count()  # next() is atomic under the GIL
 
     def frame(_i=None):
-        return pool[next(_cursor) % n_total]
+        i = next(_cursor)
+        # run-unique guarantee: never re-serve bits within a run
+        assert i < n_total, "frame pool exhausted — budget bug"
+        return pool[i]
+
+    def linearity(w1, w2, label):
+        ratio = w2 / w1
+        if not 1.5 <= ratio <= 2.7:
+            print(f"REFUSED {label}: 2x requests -> {ratio:.2f}x wall "
+                  f"(dispatch artifact, not served throughput)",
+                  file=sys.stderr)
+            sys.exit(1)
+        return round(ratio, 2)
 
     rows = []
 
@@ -119,23 +135,29 @@ def main():
         b *= 2
 
     # ---- sequential single-frame client (host-synced per request)
+    def run_sequential(n):
+        t0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(n):
+            out = pred.predict(frame()[None], center[None])
+            acc += float(out.sum())  # host materialization per request
+        assert np.isfinite(acc)
+        return time.perf_counter() - t0
+
     n_seq = args.sequential_requests
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(n_seq):
-        out = pred.predict(frame(i)[None], center[None])
-        acc += float(out.sum())  # host materialization per request
-    dt = time.perf_counter() - t0
-    assert np.isfinite(acc)
-    rows.append(dict(mode="sequential", requests=n_seq,
-                     wall_s=round(dt, 3),
-                     served_fps=round(n_seq / dt, 1),
-                     mean_latency_ms=round(1000 * dt / n_seq, 2)))
+    w1 = run_sequential(n_seq)
+    w2 = run_sequential(2 * n_seq)  # 2x-work linearity gate
+    lin = linearity(w1, w2, "sequential")
+    rows.append(dict(mode="sequential", requests=3 * n_seq,
+                     wall_s=round(w1 + w2, 3),
+                     served_fps=round(3 * n_seq / (w1 + w2), 1),
+                     mean_latency_ms=round(1000 * (w1 + w2)
+                                           / (3 * n_seq), 2),
+                     linearity=lin))
     print(json.dumps(rows[-1]))
 
     # ---- concurrent closed-loop clients through the batching layer
-    for conc in args.concurrency:
-        per_client = max(1, args.requests // conc)
+    def run_batched(conc, per_client):
         latencies = []
         lock = threading.Lock()
         with BatchingPredictor(pred, max_batch=args.max_batch,
@@ -143,10 +165,9 @@ def main():
             t0 = time.perf_counter()
 
             def client(cid):
-                for k in range(per_client):
+                for _ in range(per_client):
                     t1 = time.perf_counter()
-                    fut = bp.submit(frame(cid * per_client + k), center)
-                    r = fut.result(timeout=600)
+                    r = bp.submit(frame(), center).result(timeout=600)
                     lat = time.perf_counter() - t1
                     assert np.isfinite(np.asarray(r)).all()
                     with lock:
@@ -159,19 +180,27 @@ def main():
             for t in threads:
                 t.join()
             dt = time.perf_counter() - t0
-            n_disp = bp.n_dispatches
-            n_frames = bp.n_frames
-        served = conc * per_client
+            return dt, latencies, bp.n_dispatches, bp.n_frames
+
+    for conc in args.concurrency:
+        per_client = max(1, args.requests // conc)
+        w1, _, _, _ = run_batched(conc, per_client)
+        # linearity gate: 2x requests per client must take ~2x wall
+        w2, latencies, n_disp, n_frames = run_batched(
+            conc, 2 * per_client)
+        lin = linearity(w1, w2, f"batched_c{conc}")
+        served = conc * 2 * per_client
         rows.append(dict(
             mode=f"batched_c{conc}", requests=served,
-            wall_s=round(dt, 3),
-            served_fps=round(served / dt, 1),
+            wall_s=round(w2, 3),
+            served_fps=round(served / w2, 1),
             mean_latency_ms=round(
                 1000 * float(np.mean(latencies)), 2),
             p99_latency_ms=round(
                 1000 * float(np.percentile(latencies, 99)), 2),
             dispatches=n_disp,
-            frames_per_dispatch=round(n_frames / max(n_disp, 1), 1)))
+            frames_per_dispatch=round(n_frames / max(n_disp, 1), 1),
+            linearity=lin))
         print(json.dumps(rows[-1]))
 
     with open(args.out, "a") as fh:

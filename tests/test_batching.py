@@ -148,3 +148,23 @@ def test_batching_over_spatial_mesh(predictor, frames):
         futs = [bp.submit(imgs[i], centers[i]) for i in range(4)]
         outs = np.stack([f.result(timeout=120) for f in futs])
     np.testing.assert_allclose(outs, direct, rtol=1e-3, atol=5e-3)
+
+
+def test_bad_request_does_not_fail_coalesced_neighbours(predictor,
+                                                        frames):
+    """A malformed request coalesced with valid ones must fail ONLY its
+    own future; the neighbours are retried individually and succeed."""
+    imgs, centers = frames
+    direct = predictor.predict(imgs[:2], centers[:2])
+    with BatchingPredictor(predictor, max_batch=8,
+                           max_wait_ms=300.0) as bp:
+        f_ok1 = bp.submit(imgs[0], centers[0])
+        # malformed center shape: fails the coalesced concatenate AND
+        # the solo retry (xyz2uvd indexes [..., 2] of a length-2 axis)
+        f_bad = bp.submit(imgs[1], np.zeros((2,)))
+        f_ok2 = bp.submit(imgs[1], centers[1])
+        out1 = f_ok1.result(timeout=120)
+        out2 = f_ok2.result(timeout=120)
+        assert f_bad.exception(timeout=120) is not None
+    np.testing.assert_allclose(out1, direct[0], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(out2, direct[1], rtol=1e-4, atol=1e-3)

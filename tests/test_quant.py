@@ -309,3 +309,38 @@ def test_qat_finetune_reduces_int8_loss():
         assert float(a) == float(b)
     # param tree unchanged structurally (checkpoint-compatible)
     assert tree_shapes(params1) == tree_shapes(params0)
+
+
+def test_qat_matches_int8_under_default_matmul_precision():
+    """The QAT conv pins HIGHEST precision internally: under the
+    backend's DEFAULT (bf16-class) matmul/conv precision the scaled
+    fake-quant operands would otherwise truncate to bf16 and the QAT
+    objective would drift from the exact-int32 int8 serving path.
+    (conftest sets 'highest' globally, which would mask the bug — this
+    test drops to 'default' for the duration.)"""
+    jt_num = 14
+    fp = build_model("resnet_18", jt_num)
+    cal = build_model("resnet_18", jt_num, quant_mode="calib")
+    q8 = build_model("resnet_18", jt_num, quant_mode="int8")
+    qat = build_model("resnet_18", jt_num, quant_mode="qat")
+
+    img = jnp.asarray(np.random.RandomState(7).uniform(
+        -1, 1, (2, 64, 64)).astype(np.float32))
+    v = fp.init(KEY, img[..., None], train=False)
+    params, bs = v["params"], v["batch_stats"]
+    quant = calibrate(cal, params, bs, [np.asarray(img)])
+
+    jax.config.update("jax_default_matmul_precision", "default")
+    try:
+        out_q8 = q8.apply({"params": params, "batch_stats": bs,
+                           "quant": quant}, img[..., None], train=False)
+        out_qat = qat.apply({"params": params, "batch_stats": bs,
+                             "quant": quant}, img[..., None],
+                            train=False)
+    finally:
+        jax.config.update("jax_default_matmul_precision", "highest")
+    jt_q8 = offset2joint_softmax(out_q8, img, 1.0)
+    jt_qat = offset2joint_softmax(out_qat, img, 1.0)
+    err = float(jnp.max(jnp.abs(jt_q8 - jt_qat)))
+    assert err < 0.02, (
+        f"qat/int8 drift {err:.4f} cube units under default precision")
