@@ -57,6 +57,12 @@ def finetune(cfg: Config, params, batch_stats,
       lr: fine-tune learning rate (default 1e-4, a tenth of the
         reference recipe's 1e-3 — the task is adaptation, not
         training).
+        Scale BOTH to the PTQ gap being recovered: measured on chip,
+        a large gap (resnet_18 +0.13 mm) closed with 500 steps @ 1e-4
+        and kept improving past fp, while a small gap (hourglass_1
+        +0.07 mm) needed only 100 steps @ 1e-5 — the aggressive
+        recipe there overfit the tuning batches and scored WORSE
+        held-out (runs/convergence_qat_hourglass_r02{,b}.json).
       percentile: activation-scale calibration statistic (see
         serving.Predictor.quantize for why p99.99, not the max).
       quant: optional pre-calibrated activation scales; skips the
