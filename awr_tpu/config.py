@@ -119,6 +119,16 @@ class Config:
     # for a large cut in peak HBM.  Param trees are unchanged, so
     # checkpoints are compatible either way.
     remat: bool = False
+    # Stall watchdog (training/watchdog.py): if no train/eval step
+    # completes for this many seconds the process exits with the
+    # distinctive EXIT_STALLED code so a supervisor
+    # (training/supervise.py) can restart it — the Trainer auto-resumes
+    # from the newest committed checkpoint.  Guards against the observed
+    # wedged-device-dispatch failure mode, which blocks the main thread
+    # in a native call forever.  None = disabled (reference behavior:
+    # no failure detection).  Size it to cover the slowest legitimate
+    # gap (a full eval pass + checkpoint save), not one step.
+    step_timeout_s: Optional[float] = None
     # RNG seed for params/augmentation.
     seed: int = 23455
     # Keep only the newest N epoch checkpoints (None = keep all, the

@@ -1,0 +1,251 @@
+"""HTTP inference server: network clients -> dynamic batching -> chip.
+
+Completes the serving stack (reference has none — its users re-run the
+offline eval loop, reference test.py:61-108):
+
+    HTTP/JSON  ->  BatchingPredictor (awr_tpu/batching.py)  ->
+    Predictor (awr_tpu/serving.py: bucketed jit, optional int8 /
+    spatial mesh)  ->  TPU
+
+Stdlib-only (``http.server``) so the dependency surface stays zero; the
+threading server gives each connection a thread, and those threads all
+feed the single dispatcher queue, so concurrent clients coalesce into
+one device dispatch per drain group — the measured ~10x served-fps win
+(benchmarks/serving_load_r02.jsonl) applies to network traffic
+unchanged.
+
+API (all JSON):
+
+``POST /predict``    one frame
+    {"img": [[...]] (H, W) raw mm depth   — or "img_b64" + "shape":
+     base64 of little-endian float32, row-major,
+     "center_xyz": [x, y, z] camera mm,
+     "cube": [cx, cy, cz] optional crop cube mm}
+    -> {"joints_uvd": [[u px, v px, d mm] x J]}   (reference dump
+       convention, test.py:105-108)
+
+``POST /predict_batch``  many frames in one request (bypasses the
+    batching queue; one Predictor.predict call)
+    {"imgs": [...], "centers_xyz": [...], "cubes": optional}
+    -> {"joints_uvd": [[[...]] x B]}
+
+``GET /healthz``
+    -> {"ok": true, "net": ..., "batch_dispatches": N, "frames": N}
+
+Run::
+
+    python -m awr_tpu.server --ckpt out/ckpt --net resnet_18 \
+        --port 8000 [--int8-calib calib.npy] [--max-batch 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from awr_tpu.batching import BatchingPredictor
+from awr_tpu.serving import Predictor
+
+
+def _decode_img(obj: dict, key: str = "img") -> np.ndarray:
+    """One frame from JSON: nested lists, or base64 float32 + shape."""
+    if key in obj:
+        img = np.asarray(obj[key], np.float32)
+    elif f"{key}_b64" in obj:
+        shape = obj.get("shape")
+        if not shape:
+            raise ValueError(f"'{key}_b64' needs 'shape'")
+        buf = base64.b64decode(obj[f"{key}_b64"])
+        img = np.frombuffer(buf, dtype="<f4").reshape(shape)
+    else:
+        raise ValueError(f"request needs '{key}' or '{key}_b64'")
+    if img.ndim != 2:
+        raise ValueError(f"'{key}' must be one (H, W) frame, "
+                         f"got shape {tuple(img.shape)}")
+    return img
+
+
+class AWRServer:
+    """Owns the Predictor + batching layer and serves HTTP on a port.
+
+    ``port=0`` binds an ephemeral port (tests); read it back from
+    ``self.port`` after construction.
+    """
+
+    def __init__(self, predictor: Predictor, host: str = "0.0.0.0",
+                 port: int = 8000, max_batch: int = 64,
+                 max_wait_ms: float = 2.0):
+        self.predictor = predictor
+        self.batcher = BatchingPredictor(predictor, max_batch=max_batch,
+                                         max_wait_ms=max_wait_ms)
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet: no per-request stderr lines
+            def log_message(self, fmt, *args):  # noqa: D102
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 (http.server API)
+                if self.path != "/healthz":
+                    self._reply(404, {"error": f"no route {self.path}"})
+                    return
+                self._reply(200, {
+                    "ok": True,
+                    "net": server.predictor.cfg.net,
+                    "jt_num": server.predictor.cfg.jt_num,
+                    "int8": hasattr(server.predictor, "quant"),
+                    "batch_dispatches": server.batcher.n_dispatches,
+                    "frames": server.batcher.n_frames,
+                })
+
+            def do_POST(self):  # noqa: N802
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    obj = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/predict":
+                        out = server._predict_one(obj)
+                    elif self.path == "/predict_batch":
+                        out = server._predict_batch(obj)
+                    else:
+                        self._reply(404,
+                                    {"error": f"no route {self.path}"})
+                        return
+                    self._reply(200, out)
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    self._reply(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001 - report, don't die
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.httpd.daemon_threads = True
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------ routes
+    def _predict_one(self, obj: dict) -> dict:
+        img = _decode_img(obj)
+        center = np.asarray(obj["center_xyz"], np.float64)
+        if center.shape != (3,):
+            raise ValueError("'center_xyz' must be [x, y, z]")
+        cube = obj.get("cube")
+        if cube is not None:
+            cube = np.asarray(cube, np.float64)
+            if cube.shape != (3,):
+                raise ValueError("'cube' must be [cx, cy, cz]")
+        # through the dynamic batcher: concurrent HTTP threads coalesce
+        joints = self.batcher.predict(img, center, cube)
+        return {"joints_uvd": np.asarray(joints).tolist()}
+
+    def _predict_batch(self, obj: dict) -> dict:
+        if "imgs" in obj:
+            imgs = np.asarray(obj["imgs"], np.float32)
+        elif "imgs_b64" in obj:
+            shape = obj.get("shape")
+            if not shape:
+                raise ValueError("'imgs_b64' needs 'shape'")
+            imgs = np.frombuffer(base64.b64decode(obj["imgs_b64"]),
+                                 dtype="<f4").reshape(shape)
+        else:
+            raise ValueError("request needs 'imgs' or 'imgs_b64'")
+        if imgs.ndim != 3:
+            raise ValueError(f"'imgs' must be (B, H, W), got "
+                             f"{tuple(imgs.shape)}")
+        centers = np.asarray(obj["centers_xyz"], np.float64)
+        if centers.shape != (len(imgs), 3):
+            raise ValueError("'centers_xyz' must be (B, 3)")
+        cubes = obj.get("cubes")
+        if cubes is not None:
+            cubes = np.asarray(cubes, np.float64)
+            if cubes.shape != (len(imgs), 3):
+                raise ValueError("'cubes' must be (B, 3)")
+        out = self.predictor.predict(imgs, centers, cubes)
+        return {"joints_uvd": np.asarray(out).tolist()}
+
+    # --------------------------------------------------------- lifecycle
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def start(self) -> "AWRServer":
+        """Serve on a background thread (tests / embedding)."""
+        self._thread = threading.Thread(target=self.serve_forever,
+                                        daemon=True, name="awr-http")
+        self._thread.start()
+        return self
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        self.batcher.close()
+
+    def __enter__(self) -> "AWRServer":
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", default="",
+                    help="Orbax checkpoint dir (awr_tpu format)")
+    ap.add_argument("--pth", default="",
+                    help="reference torch .pth checkpoint")
+    ap.add_argument("--net", default="resnet_18")
+    ap.add_argument("--dataset", default="nyu")
+    ap.add_argument("--img-size", type=int, default=128)
+    ap.add_argument("--downsample", type=int, default=2)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--int8-calib", default="",
+                    help=".npy of (N, S, S) normalized calibration "
+                         "frames: serve int8 (Predictor.quantize)")
+    args = ap.parse_args(argv)
+
+    from awr_tpu.config import JOINT, Config
+
+    ks = 1.0 if args.net.startswith("resnet") else 0.4
+    cfg = Config(net=args.net, dataset=args.dataset,
+                 jt_num=JOINT[args.dataset], img_size=args.img_size,
+                 downsample=args.downsample, kernel_size=ks,
+                 compute_dtype=args.compute_dtype)
+    if args.ckpt:
+        pred = Predictor.from_checkpoint(cfg, args.ckpt)
+    elif args.pth:
+        pred = Predictor.from_torch(cfg, args.pth)
+    else:
+        raise SystemExit("pass --ckpt or --pth")
+    if args.int8_calib:
+        pred.quantize(np.load(args.int8_calib))
+    srv = AWRServer(pred, host=args.host, port=args.port,
+                    max_batch=args.max_batch,
+                    max_wait_ms=args.max_wait_ms)
+    print(f"serving {cfg.net} on {args.host}:{srv.port} "
+          f"(int8={hasattr(pred, 'quant')})")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize backbone blocks in the backward "
                          "pass (recompute instead of store activations)")
+    ap.add_argument("--step-timeout", type=float, default=0.0,
+                    help="stall watchdog: exit 86 if no train/eval step "
+                         "completes for this many seconds (run under "
+                         "awr_tpu.training.supervise to auto-resume from "
+                         "the last checkpoint); 0 = off")
     args = ap.parse_args(argv)
     cfg = build_config(args)
     over = {}
@@ -46,6 +51,8 @@ def main(argv=None):
         over["grad_accum"] = args.grad_accum
     if args.remat:
         over["remat"] = True
+    if args.step_timeout:
+        over["step_timeout_s"] = args.step_timeout
     cfg = cfg.replace(**over)
 
     from awr_tpu.training.trainer import Trainer

@@ -48,6 +48,7 @@ from awr_tpu.training.steps import (
     make_raw_train_step,
     make_train_step,
 )
+from awr_tpu.training.watchdog import Watchdog
 from awr_tpu.vis import plot_pose
 
 DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
@@ -135,6 +136,7 @@ class Trainer:
         # MPE/AUC and survives non-improving later epochs.
         self.best_records = {"epoch": 0, "best_epoch": 0, "MPE": 1e10,
                              "AUC": 0.0}
+        self._watchdog = None  # armed by train() when step_timeout_s set
         self.plateau = (PlateauScheduler(config.lr)
                         if config.scheduler == "auto" else None)
         self.ckpt = CheckpointManager(os.path.join(self.work_dir, "ckpt"),
@@ -209,7 +211,34 @@ class Trainer:
         return stage
 
     # ------------------------------------------------------------ train
+    def _beat(self):
+        """Progress heartbeat for the stall watchdog (no-op when off)."""
+        if self._watchdog is not None:
+            self._watchdog.beat()
+
     def train(self):
+        """Epoch loop with optional stall detection.
+
+        With ``Config.step_timeout_s`` set, a wedged device dispatch
+        (observed failure mode: the tunnel connection blocks the main
+        thread mid-call forever) terminates the process with
+        ``watchdog.EXIT_STALLED`` so ``training/supervise.py`` can
+        restart it; this Trainer auto-resumes from the newest committed
+        checkpoint on construction.
+        """
+        if self.cfg.step_timeout_s:
+            self._watchdog = Watchdog(
+                self.cfg.step_timeout_s,
+                on_stall=lambda m: self.print_msg(m, stdout=False),
+                name=self.cfg.net).start()
+        try:
+            self._train_impl()
+        finally:
+            if self._watchdog is not None:
+                self._watchdog.stop()
+                self._watchdog = None
+
+    def _train_impl(self):
         cfg = self.cfg
         assert self.train_data is not None, "no training dataset"
         eval_tool = Evaluator(cfg.img_size, self.train_data.paras,
@@ -271,6 +300,7 @@ class Trainer:
                 epoch_losses.append(metrics["loss"])
                 l_off, l_crd = metrics["loss_offset"], metrics["loss_coord"]
                 pending.append((metrics["jt_uvd_pred"], n, fb))
+                self._beat()
                 if (ii + 1) % cfg.print_freq == 0:
                     self.print_msg(
                         "[epoch: {:02d}][train loss: {:.5f}]"
@@ -280,6 +310,7 @@ class Trainer:
                             float(l_off), float(l_crd)))
                     losses = []
             for jt_pred, n, fb in pending:
+                self._beat()  # the drain host-syncs; wedges surface here
                 eval_tool.feed_batch(
                     np.asarray(jt_pred)[:n],
                     np.asarray(fb["jt_xyz"])[:n],
@@ -306,6 +337,7 @@ class Trainer:
                                          AUC=auc)
             self.best_records["epoch"] = epoch  # resume cursor
             self.save(epoch)
+            self._beat()
 
     # ------------------------------------------------------------- eval
     def test(self, epoch: int = 0):
@@ -344,7 +376,9 @@ class Trainer:
                 ("img", "jt_uvd") if vis else ())
             pending.append((metrics["loss"], metrics["jt_uvd_pred"], n,
                             {k: fb[k] for k in keep}, ii, vis))
+            self._beat()
         for loss, jt_dev, n, fb, ii, vis in pending:
+            self._beat()
             loss_sum += float(loss)
             nb += 1
             jt_pred = np.asarray(jt_dev)[:n]

@@ -28,8 +28,15 @@ Raw frames are 160x160 mm-depth images with matched intrinsics (small
 enough that the tunnel upload does not dominate; the crop path is
 identical for any H0 x W0).
 
+``--http`` routes every request through the real network stack instead
+(``awr_tpu.server.AWRServer`` on a loopback ephemeral port, JSON +
+base64-float32 payloads): clients become closed-loop HTTP POSTers, and
+coalescing happens inside the server's own batching layer.  Rows get an
+``http_`` mode prefix; the delta vs the in-process rows is the
+HTTP/JSON overhead.
+
 Usage: python benchmarks/serving_load.py [--net resnet_18]
-       [--requests 256] [--concurrency 8 32 128]
+       [--requests 256] [--concurrency 8 32 128] [--http]
        [--out benchmarks/serving_load_r02.jsonl]
 """
 
@@ -62,6 +69,10 @@ def main():
                     default=[8, 32, 128])
     ap.add_argument("--max-batch", type=int, default=256)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--http", action="store_true",
+                    help="drive through awr_tpu.server.AWRServer on a "
+                         "loopback port (JSON/base64 over HTTP) instead "
+                         "of in-process BatchingPredictor calls")
     ap.add_argument("--out", default="benchmarks/serving_load_r02.jsonl")
     args = ap.parse_args()
 
@@ -123,6 +134,31 @@ def main():
             sys.exit(1)
         return round(ratio, 2)
 
+    srv = None
+    if args.http:
+        import base64
+        import urllib.request
+
+        from awr_tpu.server import AWRServer
+
+        srv = AWRServer(pred, host="127.0.0.1", port=0,
+                        max_batch=args.max_batch,
+                        max_wait_ms=args.max_wait_ms).start()
+
+        def http_predict_one(img, ctr):
+            payload = json.dumps({
+                "img_b64": base64.b64encode(
+                    np.ascontiguousarray(img, "<f4").tobytes()).decode(),
+                "shape": list(img.shape),
+                "center_xyz": [float(x) for x in ctr],
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/predict", data=payload,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                return np.asarray(json.loads(resp.read())["joints_uvd"])
+
+    prefix = "http_" if args.http else ""
     rows = []
 
     # warm every power-of-two bucket executable this run will hit
@@ -139,7 +175,10 @@ def main():
         t0 = time.perf_counter()
         acc = 0.0
         for _ in range(n):
-            out = pred.predict(frame()[None], center[None])
+            if args.http:
+                out = http_predict_one(frame(), center)
+            else:
+                out = pred.predict(frame()[None], center[None])
             acc += float(out.sum())  # host materialization per request
         assert np.isfinite(acc)
         return time.perf_counter() - t0
@@ -148,7 +187,7 @@ def main():
     w1 = run_sequential(n_seq)
     w2 = run_sequential(2 * n_seq)  # 2x-work linearity gate
     lin = linearity(w1, w2, "sequential")
-    rows.append(dict(mode="sequential", requests=3 * n_seq,
+    rows.append(dict(mode=prefix + "sequential", requests=3 * n_seq,
                      wall_s=round(w1 + w2, 3),
                      served_fps=round(3 * n_seq / (w1 + w2), 1),
                      mean_latency_ms=round(1000 * (w1 + w2)
@@ -160,14 +199,15 @@ def main():
     def run_batched(conc, per_client):
         latencies = []
         lock = threading.Lock()
-        with BatchingPredictor(pred, max_batch=args.max_batch,
-                               max_wait_ms=args.max_wait_ms) as bp:
+
+        def scenario(submit_one, n_dispatches, n_frames):
+            d0, f0 = n_dispatches(), n_frames()
             t0 = time.perf_counter()
 
             def client(cid):
                 for _ in range(per_client):
                     t1 = time.perf_counter()
-                    r = bp.submit(frame(), center).result(timeout=600)
+                    r = submit_one()
                     lat = time.perf_counter() - t1
                     assert np.isfinite(np.asarray(r)).all()
                     with lock:
@@ -180,7 +220,18 @@ def main():
             for t in threads:
                 t.join()
             dt = time.perf_counter() - t0
-            return dt, latencies, bp.n_dispatches, bp.n_frames
+            return dt, latencies, n_dispatches() - d0, n_frames() - f0
+
+        if args.http:
+            # coalescing happens inside the server's batching layer
+            return scenario(lambda: http_predict_one(frame(), center),
+                            lambda: srv.batcher.n_dispatches,
+                            lambda: srv.batcher.n_frames)
+        with BatchingPredictor(pred, max_batch=args.max_batch,
+                               max_wait_ms=args.max_wait_ms) as bp:
+            return scenario(
+                lambda: bp.submit(frame(), center).result(timeout=600),
+                lambda: bp.n_dispatches, lambda: bp.n_frames)
 
     for conc in args.concurrency:
         per_client = max(1, args.requests // conc)
@@ -188,10 +239,10 @@ def main():
         # linearity gate: 2x requests per client must take ~2x wall
         w2, latencies, n_disp, n_frames = run_batched(
             conc, 2 * per_client)
-        lin = linearity(w1, w2, f"batched_c{conc}")
+        lin = linearity(w1, w2, f"{prefix}batched_c{conc}")
         served = conc * 2 * per_client
         rows.append(dict(
-            mode=f"batched_c{conc}", requests=served,
+            mode=f"{prefix}batched_c{conc}", requests=served,
             wall_s=round(w2, 3),
             served_fps=round(served / w2, 1),
             mean_latency_ms=round(
@@ -203,6 +254,8 @@ def main():
             linearity=lin))
         print(json.dumps(rows[-1]))
 
+    if srv is not None:
+        srv.close()
     with open(args.out, "a") as fh:
         for r in rows:
             fh.write(json.dumps(r) + "\n")
