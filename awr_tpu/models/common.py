@@ -7,6 +7,7 @@ requirement for bit-parity under torch weight import.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -107,11 +108,71 @@ class TorchConv(nn.Module):
         )(x)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's running-stat semantics.
+
+    flax's ``nn.BatchNorm`` feeds the *biased* batch variance into the
+    running-var EMA; torch ``BatchNorm2d`` normalizes with the biased
+    variance but updates ``running_var`` with the *unbiased* one
+    (Bessel factor n/(n-1) over n = N*H*W).  The reference trains with
+    torch BN (resnet_deconv.py:6 ``BN_MOMENTUM=0.1``), so eval-mode
+    parity after K identical train steps requires the torch update rule
+    (asserted by tests/test_train_dynamics_oracle.py).
+
+    Param/stat names match flax's ('scale'/'bias', 'mean'/'var') so
+    checkpoints and the torch weight importer are unaffected.
+    """
+
+    use_running_average: bool
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        # stats in at-least-fp32 (fp32 under bf16 compute, fp64 under
+        # the x64 train-dynamics oracle)
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        if self.use_running_average:
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xs = x.astype(stat_dtype)
+            mean = jnp.mean(xs, axis=axes)
+            # biased variance normalizes the activations (torch + flax);
+            # two-pass form: E[x^2]-E[x]^2 loses ~3 digits to
+            # cancellation and shows up in the train-dynamics oracle
+            var = jnp.mean(jnp.square(xs - mean), axis=axes)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                bessel = n / max(n - 1, 1)
+                keep = lambda s, v: (self.momentum * s
+                                     + (1.0 - self.momentum) * v)
+                ra_mean.value = keep(ra_mean.value,
+                                     mean.astype(ra_mean.value.dtype))
+                ra_var.value = keep(
+                    ra_var.value,
+                    (var * bessel).astype(ra_var.value.dtype))
+        y = (x.astype(stat_dtype) - mean) * jax.lax.rsqrt(
+            var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 def batch_norm(train: bool, dtype=jnp.float32, name=None):
-    return nn.BatchNorm(
+    return TorchBatchNorm(
         use_running_average=not train,
-        momentum=BN_MOMENTUM,
-        epsilon=BN_EPS,
         dtype=dtype,
         name=name,
     )

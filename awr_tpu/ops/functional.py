@@ -57,7 +57,9 @@ def _pixel_mesh_np(feature_size: int):
     mesh_x varies along the last (column/u) axis, mesh_y along the row/v
     axis; value = 2*(i+0.5)/F - 1 (reference feature_tool.py:23-24).
     """
-    r = (2.0 * (np.arange(feature_size, dtype=np.float32) + 0.5)
+    # fp64 so downstream casts get correctly-rounded constants (the
+    # fp64 train-dynamics oracle would otherwise see fp32-rounded mesh)
+    r = (2.0 * (np.arange(feature_size, dtype=np.float64) + 0.5)
          / feature_size - 1.0)
     mesh_x = np.broadcast_to(r[None, :], (feature_size, feature_size))
     mesh_y = np.broadcast_to(r[:, None], (feature_size, feature_size))

@@ -1,0 +1,453 @@
+"""K-step training-dynamics parity against the torch reference.
+
+Forward parity (test_torch_import.py) proves the nets compute the same
+function; this file proves the whole TRAINING LOOP does: starting from
+identical imported weights and feeding identical batches, K full train
+steps — GT offset encode, forward, adaptive decode, dual smooth-L1,
+backward, Adam update, BatchNorm running-stat update — must produce the
+same per-step losses, first-step gradients, final parameters, and final
+BN running stats as the reference's train.py:107-131 math run in torch.
+
+This covers the surfaces nothing else oracle-tests:
+- the backward through offset2joint_softmax (coord_weight=1 here so the
+  decode gradient is exercised; reference config.py:41 defaults it to 0
+  but train.py:119/125 supports it),
+- the ConvTranspose gradient under the transpose_kernel=True import
+  convention,
+- optax-vs-torch Adam semantics (lr 1e-3, betas (0.9, 0.999), eps 1e-8,
+  reference train.py:67),
+- torch-vs-flax BatchNorm running-stat bookkeeping (momentum 0.1,
+  UNBIASED running-var update — models/common.py TorchBatchNorm).
+
+Why fp64 (torch .double() + jax.enable_x64): in fp32 the two frameworks
+accumulate different op-order rounding (~1e-6 rel on gradients), and
+Adam NORMALIZES gradients — elements whose true gradient is at the
+noise floor get lr-sized sign-random updates, so K-step trajectories
+drift ~1e-3 in loss even with identical semantics (torch's own
+fp32-vs-fp64 drift is the same mechanism).  In fp64 that noise floor
+drops to the reference loss's internal ``z.float()`` cast (loss.py:11,
+mirrored by ops/loss.py), leaving per-step losses equal to ~1e-5 and
+making semantic bugs (wrong eps/bias-correction/momentum/Bessel) stand
+out by orders of magnitude.
+
+Residual Adam sign-noise still exists for true-zero-gradient params, so
+the final-param check is two-tier: a MAX bound at the worst-case
+K-step Adam movement (catches wrong lr/scale on any element) plus a
+MEDIAN bound of 1e-6 (a wrong eps or bias correction shifts nearly
+every element; sign-noise touches only a tiny fraction).
+
+Hourglass noise floor: the reference's own AWR ops build their pixel
+mesh in float32 and cast outputs with .float() (feature_tool.py:23-24,
+39,52-53,65) even under double inputs, and a deep BN net amplifies
+op-order roundoff exponentially (each BN renormalizes), so the fp64
+cross-framework forward floor is ~1e-9 for resnet_18 but ~1e-6 for the
+50-BN-layer hourglass_2 — which Adam's normalization turns into ~1e-2
+K-step param noise on its many near-zero-gradient elements.  The
+hourglass bounds below sit just above those measured floors; the
+discriminating assertions are the first-step loss (1e-5) and the
+GRADIENT MEDIAN (1e-9; measured 4e-12 — semantic identity), which a
+structural backward bug would blow past by orders of magnitude.
+
+Hourglass quirk (PARITY.md): the reference's stack loop calls
+``self.net(input)`` afresh per stage and only the LAST stack's loss
+reaches backward (train.py:116-121 overwrites ``loss``), so its
+gradients equal a single-forward last-stack-loss step while BN running
+stats are updated nstack times per step.  test_hourglass_* asserts the
+loss/param equivalence of the two torch loops explicitly, then compares
+our framework (one forward, supervise_all_stacks=False) against the
+single-forward torch run for BN stats.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+HAS_REF = os.path.isdir(REF)
+pytestmark = pytest.mark.skipif(not HAS_REF,
+                                reason="reference mount not present")
+
+if HAS_REF:
+    sys.path.insert(0, REF)
+
+J = 14
+IMG = 32
+BATCH = 4
+LR = 1e-3
+DENSE_W = 1.0
+COORD_W = 1.0
+
+
+@pytest.fixture
+def torch_double():
+    import torch
+
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    yield
+    torch.set_default_dtype(prev)
+
+
+def randomize_state_dict(net, seed=0):
+    import torch
+
+    g = np.random.RandomState(seed)
+    sd = net.state_dict()
+    new = {}
+    for k, v in sd.items():
+        if k.endswith("running_var"):
+            val = np.abs(g.randn(*v.shape)) + 0.5
+        elif k.endswith("num_batches_tracked"):
+            new[k] = v
+            continue
+        else:
+            val = g.randn(*v.shape) * 0.05
+        new[k] = torch.from_numpy(val.astype(np.float64))
+    net.load_state_dict(new)
+    # .clone(): state_dict() aliases the live tensors, which training
+    # mutates in place
+    return {k: v.clone() for k, v in net.state_dict().items()
+            if not k.endswith("num_batches_tracked")}
+
+
+def make_batches(n_steps, seed=7):
+    """Depth-image-like batches: foreground in [-1, 0.9], background 1.0
+    (the 0.99 threshold of feature_tool.py:35,57 must see both), joints
+    in [-0.8, 0.8]."""
+    g = np.random.RandomState(seed)
+    batches = []
+    for _ in range(n_steps):
+        img = np.ones((BATCH, IMG, IMG), np.float64)
+        for b in range(BATCH):
+            u0, v0 = g.randint(4, IMG // 2, size=2)
+            du, dv = g.randint(8, IMG - 8, size=2)
+            patch = g.uniform(-1.0, 0.9,
+                              size=(min(dv, IMG - v0), min(du, IMG - u0)))
+            img[b, v0:v0 + patch.shape[0], u0:u0 + patch.shape[1]] = patch
+        jt = g.uniform(-0.8, 0.8, size=(BATCH, J, 3))
+        batches.append((img, jt))
+    return batches
+
+
+def torch_loss(net, FM, crit, img, jt, kernel, feat, nstack=0):
+    """One reference-math forward+loss (train.py:113-127)."""
+    import torch
+
+    inp = torch.from_numpy(img[:, None])
+    jt_gt = torch.from_numpy(jt)
+    offset_gt = FM.joint2offset(jt_gt, inp, kernel, feat)
+    if nstack:
+        for stage_idx in range(nstack):
+            offset_pred = net(inp)[stage_idx]
+            jt_pred = FM.offset2joint_softmax(offset_pred, inp, kernel)
+            loss = (COORD_W * crit(jt_pred, jt_gt)
+                    + DENSE_W * crit(offset_pred, offset_gt))
+    else:
+        offset_pred = net(inp)
+        jt_pred = FM.offset2joint_softmax(offset_pred, inp, kernel)
+        loss = (COORD_W * crit(jt_pred, jt_gt)
+                + DENSE_W * crit(offset_pred, offset_gt))
+    return loss
+
+
+def torch_train(net, batches, kernel, feat, nstack=0, single_forward=False):
+    """The reference per-batch train math (train.py:107-131):
+    per-stack forward recompute for hourglass (nstack>0),
+    Adam(lr, weight_decay=0), loss = coord_w*L(jt) + dense_w*L(offset).
+
+    ``single_forward=True`` is the gradient-identical variant of the
+    hourglass loop (ONE forward, last stack's loss — exactly what the
+    reference's per-stage recompute backpropagates) whose BN stats are
+    updated once per step, the convention our one-forward step follows.
+
+    Returns (per-step losses, first-step grads, final state_dict)."""
+    import torch
+    from model.loss import My_SmoothL1Loss
+    from util.feature_tool import FeatureModule
+
+    opt = torch.optim.Adam(net.parameters(), lr=LR, weight_decay=0)
+    crit = My_SmoothL1Loss()
+    FM = FeatureModule()
+    net.train()
+    losses = []
+    grads0 = None
+    for img, jt in batches:
+        if single_forward:
+            inp = torch.from_numpy(img[:, None])
+            jt_gt = torch.from_numpy(jt)
+            offset_gt = FM.joint2offset(jt_gt, inp, kernel, feat)
+            offset_pred = net(inp)[-1]
+            jt_pred = FM.offset2joint_softmax(offset_pred, inp, kernel)
+            loss = (COORD_W * crit(jt_pred, jt_gt)
+                    + DENSE_W * crit(offset_pred, offset_gt))
+        else:
+            loss = torch_loss(net, FM, crit, img, jt, kernel, feat,
+                              nstack)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if grads0 is None:
+            # p.grad is None for params outside the last-stack loss
+            # graph (hourglass per-stack loop): gradient is zero there
+            grads0 = {k: (torch.zeros_like(p) if p.grad is None
+                          else p.grad.detach().clone())
+                      for k, p in net.named_parameters()}
+        losses.append(float(loss.detach()))
+    sd = {k: v.clone() for k, v in net.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+    return losses, grads0, sd
+
+
+def import_f64(name, sd, **kw):
+    import jax
+    import jax.numpy as jnp
+
+    from awr_tpu.models.torch_import import import_reference_weights
+
+    variables = import_reference_weights(name, sd, **kw)
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64),
+                                  variables)
+
+
+def ours_train(model, variables, cfg, batches):
+    """K fp64 steps of our jitted make_train_step from the imported
+    weights, plus the first step's gradients (via the same loss the
+    step uses).  Must be called inside jax.enable_x64()."""
+    import jax
+    import jax.numpy as jnp
+
+    from awr_tpu.ops import smooth_l1_loss
+    from awr_tpu.ops.decode import decode_offsets
+    from awr_tpu.ops.encode import encode_offsets
+    from awr_tpu.training.optim import make_optimizer
+    from awr_tpu.training.steps import TrainState, make_train_step
+
+    def loss_fn(params, batch_stats, img, jt):
+        offset_gt = encode_offsets(jt, img, cfg.kernel_size,
+                                   cfg.feature_size)
+        out, _ = model.apply({"params": params,
+                              "batch_stats": batch_stats},
+                             img[..., None], train=True,
+                             mutable=["batch_stats"])
+        pred = out[-1] if out.ndim == 5 else out
+        jt_pred = decode_offsets(pred, img, cfg.kernel_size)
+        return (COORD_W * smooth_l1_loss(jt_pred, jt)
+                + DENSE_W * smooth_l1_loss(pred, offset_gt))
+
+    optimizer = make_optimizer("adam", 0.0)(learning_rate=LR)
+    with jax.default_matmul_precision("highest"):
+        img0, jt0 = (jnp.asarray(a, jnp.float64) for a in batches[0])
+        grads0 = jax.jit(jax.grad(loss_fn))(variables["params"],
+                                            variables["batch_stats"],
+                                            img0, jt0)
+        step = jax.jit(make_train_step(model, optimizer, cfg))
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=optimizer.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        losses = []
+        for img, jt in batches:
+            batch = dict(img=jnp.asarray(img, jnp.float64),
+                         jt_uvd=jnp.asarray(jt, jnp.float64))
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+    return losses, grads0, state
+
+
+def flatten(tree):
+    import jax
+
+    return {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+            jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def assert_close_tiered(ref_tree, our_tree, what, max_abs, median_abs):
+    """Two-tier closeness: every element within ``max_abs`` (worst-case
+    K-step Adam movement — catches wrong lr/sign/scale) AND the median
+    |diff| within ``median_abs`` (a wrong eps/bias-correction/momentum
+    shifts nearly all elements; Adam sign-noise on zero-grad elements
+    touches only a few).  The median floor is set by Adam's gradient
+    normalization of the fp32-cast loss noise: elements with true
+    |g| ~ 1e-6 see ~1e-3 relative grad noise, i.e. ~lr*1e-3 = 1e-6
+    update noise per step (measured ~4e-6 after 5 resnet steps)."""
+    ref = flatten(ref_tree)
+    ours = flatten(our_tree)
+    assert ref.keys() == ours.keys()
+    diffs = []
+    for k in ref:
+        d = np.abs(ours[k] - ref[k])
+        assert d.max() <= max_abs, (
+            f"{what}: {k} max|diff|={d.max():.3e} > {max_abs:g}")
+        diffs.append(d.ravel())
+    med = np.median(np.concatenate(diffs))
+    assert med <= median_abs, (
+        f"{what}: median |diff|={med:.3e} > {median_abs:g}")
+
+
+def grads_to_variables(name, net, grads, **kw):
+    """Map torch named-parameter grads into flax tree layout by running
+    them through the weight importer (a linear relabeling, so gradients
+    transform the same way the weights do — incl. the ConvTranspose
+    transpose_kernel flip).  BN running stats get placeholders."""
+    sd = {}
+    for k, v in net.state_dict().items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        sd[k] = grads[k].clone() if k in grads else v.clone()
+    return import_f64(name, sd, **kw)
+
+
+def test_resnet18_train_dynamics(torch_double):
+    import jax
+
+    from model.resnet_deconv import get_deconv_net as ref_factory
+
+    from awr_tpu.config import Config
+    from awr_tpu.models import get_deconv_net
+
+    import jax.numpy as jnp
+
+    ref = ref_factory(18, J, 2).double()
+    sd0 = randomize_state_dict(ref, seed=18)
+    cfg = Config(net="resnet_18", img_size=IMG, downsample=2,
+                 kernel_size=1.0, dense_weight=DENSE_W,
+                 coord_weight=COORD_W, use_pallas=False)
+    batches = make_batches(5)
+    ref_losses, ref_grads, ref_sd = torch_train(
+        ref, batches, cfg.kernel_size, cfg.feature_size)
+
+    with jax.enable_x64():
+        variables = import_f64("resnet_18", sd0, downsample=2)
+        model = get_deconv_net(18, J, 2, dtype=jnp.float64)
+        our_losses, our_grads, state = ours_train(model, variables, cfg,
+                                                  batches)
+
+        np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4,
+                                   err_msg="per-step losses")
+        g_ref = grads_to_variables("resnet_18", ref, ref_grads,
+                                   downsample=2)
+        assert_close_tiered(g_ref["params"], our_grads,
+                            "first-step gradients",
+                            max_abs=1e-5, median_abs=1e-9)
+        final = import_f64("resnet_18", ref_sd, downsample=2)
+        assert_close_tiered(final["params"], state.params,
+                            "params after 5 Adam steps",
+                            max_abs=2.5 * 5 * LR, median_abs=1e-5)
+        assert_close_tiered(final["batch_stats"], state.batch_stats,
+                            "BN running stats after 5 steps",
+                            max_abs=2e-3, median_abs=2e-5)
+
+
+def test_hourglass2_train_dynamics(torch_double):
+    import jax
+    import jax.numpy as jnp
+
+    from model.hourglass import PoseNet as RefPoseNet
+
+    from awr_tpu.config import Config
+    from awr_tpu.models import PoseNet
+
+    nstack = 2
+    steps = 3
+
+    # (a) the exact reference loop (per-stack forward recompute)
+    ref_a = RefPoseNet(f"hourglass_{nstack}", J).double()
+    sd0 = randomize_state_dict(ref_a, seed=2)
+    batches = make_batches(steps, seed=11)
+    cfg = Config(net=f"hourglass_{nstack}", img_size=IMG, downsample=2,
+                 kernel_size=0.4, dense_weight=DENSE_W,
+                 coord_weight=COORD_W, use_pallas=False,
+                 supervise_all_stacks=False)
+    losses_a, grads_a, sd_a = torch_train(ref_a, batches,
+                                          cfg.kernel_size,
+                                          cfg.feature_size,
+                                          nstack=nstack)
+
+    # (b) single-forward last-stack-loss torch run from the same init:
+    # must be gradient-identical to (a); BN stats update once per step
+    ref_b = RefPoseNet(f"hourglass_{nstack}", J).double()
+    randomize_state_dict(ref_b, seed=2)
+    losses_b, _, sd_b = torch_train(ref_b, batches, cfg.kernel_size,
+                                    cfg.feature_size, nstack=nstack,
+                                    single_forward=True)
+    np.testing.assert_allclose(losses_b, losses_a, rtol=1e-8,
+                               err_msg="recompute-loop vs single-forward")
+    for k in sd_a:
+        if "running" in k:
+            continue  # BN stats differ: nstack updates/step vs one
+        np.testing.assert_allclose(
+            sd_b[k].numpy(), sd_a[k].numpy(), atol=1e-8, rtol=1e-6,
+            err_msg=f"torch param {k}")
+
+    # (c) ours vs (a) for losses/grads/params, vs (b) for BN stats
+    with jax.enable_x64():
+        variables = import_f64(f"hourglass_{nstack}", sd0)
+        model = PoseNet(nstack=nstack, joint_num=J, dtype=jnp.float64)
+        our_losses, our_grads, state = ours_train(model, variables, cfg,
+                                                  batches)
+
+        np.testing.assert_allclose(our_losses[:1], losses_a[:1],
+                                   rtol=1e-5, err_msg="first-step loss")
+        np.testing.assert_allclose(our_losses, losses_a, rtol=3e-2,
+                                   err_msg="per-step losses")
+        g_ref = grads_to_variables(f"hourglass_{nstack}", ref_a, grads_a)
+        assert_close_tiered(g_ref["params"], our_grads,
+                            "first-step gradients",
+                            max_abs=1e-4, median_abs=1e-9)
+        final_a = import_f64(f"hourglass_{nstack}", sd_a)
+        assert_close_tiered(final_a["params"], state.params,
+                            "params after 3 Adam steps",
+                            max_abs=2.5 * 3 * LR, median_abs=1e-3)
+        final_b = import_f64(f"hourglass_{nstack}", sd_b)
+        assert_close_tiered(final_b["batch_stats"], state.batch_stats,
+                            "BN running stats (single-update convention)",
+                            max_abs=3e-2, median_abs=1e-3)
+
+
+def test_batchnorm_update_rule_exact(torch_double):
+    """Single-layer pin of the torch BN bookkeeping at 1e-12: momentum
+    0.1, biased batch var normalizes, UNBIASED (Bessel n/(n-1)) var
+    feeds the running EMA — the K-step checks above can only see this
+    through the dynamics noise floor, so nail it directly."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from awr_tpu.models.common import TorchBatchNorm
+
+    g = np.random.RandomState(0)
+    x = g.randn(4, 8, 8, 6)  # NHWC
+    ref = torch.nn.BatchNorm2d(6, momentum=0.1).double()
+    with torch.no_grad():
+        ref.weight.copy_(torch.from_numpy(g.randn(6)))
+        ref.bias.copy_(torch.from_numpy(g.randn(6)))
+        ref.running_mean.copy_(torch.from_numpy(g.randn(6)))
+        ref.running_var.copy_(torch.from_numpy(np.abs(g.randn(6)) + 0.5))
+    ref.train()
+    rm0 = ref.running_mean.detach().clone().numpy()
+    rv0 = ref.running_var.detach().clone().numpy()
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        y_ref = ref(xt).numpy()  # mutates ref's running stats
+
+    with jax.enable_x64():
+        bn = TorchBatchNorm(use_running_average=False,
+                            dtype=jnp.float64)
+        variables = {
+            "params": {"scale": jnp.asarray(ref.weight.detach().numpy()),
+                       "bias": jnp.asarray(ref.bias.detach().numpy())},
+            "batch_stats": {"mean": jnp.asarray(rm0),
+                            "var": jnp.asarray(rv0)},
+        }
+        y, mut = bn.apply(variables, jnp.asarray(x),
+                          mutable=["batch_stats"])
+    y = np.transpose(np.asarray(y), (0, 3, 1, 2))
+    np.testing.assert_allclose(y, y_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]),
+                               ref.running_mean.numpy(), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["var"]),
+                               ref.running_var.numpy(), atol=1e-12)
