@@ -23,3 +23,28 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Build the native C++ extension on demand so tests/test_native.py RUNS
+# (not skips) in a fresh checkout without a pip install step.  Takes a
+# few seconds with g++; any failure leaves the cv2 fallback in place and
+# the native tests skip as before.  AWR_SKIP_NATIVE_BUILD=1 disables.
+import importlib.util  # noqa: E402
+import pathlib  # noqa: E402
+import subprocess  # noqa: E402
+import sys  # noqa: E402
+
+if not os.environ.get("AWR_SKIP_NATIVE_BUILD"):
+    try:
+        _have_native = importlib.util.find_spec("awr_tpu._native")
+    except (ImportError, ModuleNotFoundError):
+        _have_native = None
+    if _have_native is None:
+        _root = pathlib.Path(__file__).resolve().parent.parent
+        try:
+            subprocess.run(
+                [sys.executable, str(_root / "native" / "setup.py"),
+                 "build_ext", "--inplace"],
+                cwd=str(_root), check=True, capture_output=True,
+                timeout=600)
+        except Exception:
+            pass
