@@ -36,13 +36,15 @@ import numpy as np
 
 
 class _Request:
-    __slots__ = ("imgs", "centers", "cubes", "future")
+    __slots__ = ("imgs", "centers", "cubes", "future", "batched")
 
-    def __init__(self, imgs, centers, cubes, future):
+    def __init__(self, imgs, centers, cubes, future, batched=False):
         self.imgs = imgs
         self.centers = centers
         self.cubes = cubes
         self.future = future
+        # batched requests resolve to (B, J, 3); single-frame to (J, 3)
+        self.batched = batched
 
 
 class BatchingPredictor:
@@ -103,10 +105,46 @@ class BatchingPredictor:
             self._q.put(req)
         return fut
 
+    def submit_batch(self, imgs, centers_xyz, cubes=None) -> Future:
+        """Enqueue a MULTI-frame request; returns a Future of (B, J, 3)
+        camera-coord joints.
+
+        Keeps the module invariant that ONE dispatcher thread owns the
+        device: callers with pre-formed batches (e.g. the HTTP
+        /predict_batch route) must come through here rather than
+        calling Predictor directly from their own thread — two threads
+        first-hitting a new power-of-two bucket would race duplicate
+        multi-minute remote compiles, and concurrent dispatch is what
+        wedges the tunneled single chip."""
+        imgs = np.asarray(imgs, np.float32)
+        if imgs.ndim != 3:
+            raise ValueError(f"submit_batch takes (B, H, W) frames, "
+                             f"got {imgs.shape}")
+        centers = np.asarray(centers_xyz, np.float64)
+        if centers.shape != (len(imgs), 3):
+            raise ValueError("'centers_xyz' must be (B, 3)")
+        if cubes is not None:
+            cubes = np.asarray(cubes, np.float64)
+            if cubes.shape != (len(imgs), 3):
+                raise ValueError("'cubes' must be (B, 3)")
+        fut: Future = Future()
+        req = _Request(imgs, centers, cubes, fut, batched=True)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("BatchingPredictor is closed")
+            self._q.put(req)
+        return fut
+
     def predict(self, img, center_xyz, cube=None, timeout=None):
         """Blocking single-frame convenience wrapper around
         :meth:`submit`."""
         return self.submit(img, center_xyz, cube).result(timeout=timeout)
+
+    def predict_batch(self, imgs, centers_xyz, cubes=None, timeout=None):
+        """Blocking multi-frame convenience wrapper around
+        :meth:`submit_batch`."""
+        return self.submit_batch(imgs, centers_xyz,
+                                 cubes).result(timeout=timeout)
 
     def close(self, wait: bool = True):
         """Stop accepting requests; drain the queue, then stop the
@@ -136,9 +174,13 @@ class BatchingPredictor:
         if first is None:
             return [], True
         group = [first]
+        frames = first.imgs.shape[0]
         deadline_wait = self.max_wait_s
         stop = False
-        while len(group) < self.max_batch:
+        # max_batch bounds total FRAMES per group (a single submit_batch
+        # larger than max_batch still dispatches alone; Predictor's
+        # bucketing handles any size)
+        while frames < self.max_batch:
             try:
                 nxt = self._q.get(timeout=deadline_wait)
             except queue.Empty:
@@ -147,6 +189,7 @@ class BatchingPredictor:
                 stop = True
                 break
             group.append(nxt)
+            frames += nxt.imgs.shape[0]
             # after the grace window only sweep what is already queued
             deadline_wait = 0.0
         return group, stop
@@ -178,15 +221,20 @@ class BatchingPredictor:
             if any(r.cubes is not None for r in group):
                 default = np.asarray(self._p.cfg.cube, np.float64)
                 cubes = np.concatenate([
-                    r.cubes if r.cubes is not None else default[None]
+                    r.cubes if r.cubes is not None
+                    else np.repeat(default[None], len(r.imgs), axis=0)
                     for r in group])
             else:
                 cubes = None
             out = self._p.predict(imgs, centers, cubes)
             self.n_dispatches += 1
-            self.n_frames += len(group)
-            for i, r in enumerate(group):
-                r.future.set_result(out[i])
+            self.n_frames += len(imgs)
+            off = 0
+            for r in group:
+                n = r.imgs.shape[0]
+                r.future.set_result(out[off:off + n] if r.batched
+                                    else out[off])
+                off += n
         except BaseException as e:  # noqa: BLE001 - must fail futures
             if len(group) > 1:
                 # one malformed request must not fail its co-batched

@@ -127,7 +127,12 @@ class Config:
     # wedged-device-dispatch failure mode, which blocks the main thread
     # in a native call forever.  None = disabled (reference behavior:
     # no failure detection).  Size it to cover the slowest legitimate
-    # gap (a full eval pass + checkpoint save), not one step.
+    # gap (a full eval pass + checkpoint save), not one step.  Note the
+    # per-iteration beat fires after the async dispatch ENQUEUE, not
+    # device completion, so a wedged device is only detected at the
+    # next host sync (the print_freq loss materialization / end-of-
+    # epoch drain): worst-case detection latency is step_timeout_s +
+    # print_freq steps' dispatch time, not one step (trainer._beat).
     step_timeout_s: Optional[float] = None
     # RNG seed for params/augmentation.
     seed: int = 23455

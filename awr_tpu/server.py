@@ -24,13 +24,20 @@ API (all JSON):
     -> {"joints_uvd": [[u px, v px, d mm] x J]}   (reference dump
        convention, test.py:105-108)
 
-``POST /predict_batch``  many frames in one request (bypasses the
-    batching queue; one Predictor.predict call)
+``POST /predict_batch``  many frames in one request (enqueued as one
+    multi-row group on the same dispatcher thread that serves
+    /predict, so exactly one thread ever touches the device)
     {"imgs": [...], "centers_xyz": [...], "cubes": optional}
     -> {"joints_uvd": [[[...]] x B]}
 
 ``GET /healthz``
     -> {"ok": true, "net": ..., "batch_dispatches": N, "frames": N}
+
+Operational limits: the server binds 127.0.0.1 by default (pass
+``--host 0.0.0.0`` explicitly to expose it — there is no auth),
+rejects request bodies over ``--max-request-mb`` (default 64) with 413
+before reading them, and bounds accepted image shapes
+(H, W <= 4096; B <= 1024) before materializing arrays.
 
 Run::
 
@@ -78,10 +85,15 @@ class AWRServer:
     ``self.port`` after construction.
     """
 
-    def __init__(self, predictor: Predictor, host: str = "0.0.0.0",
+    MAX_SIDE = 4096      # per-frame H/W bound
+    MAX_FRAMES = 1024    # per-request batch bound
+
+    def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
                  port: int = 8000, max_batch: int = 64,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 max_request_bytes: int = 64 * 1024 * 1024):
         self.predictor = predictor
+        self.max_request_bytes = int(max_request_bytes)
         self.batcher = BatchingPredictor(predictor, max_batch=max_batch,
                                          max_wait_ms=max_wait_ms)
         server = self
@@ -115,6 +127,13 @@ class AWRServer:
             def do_POST(self):  # noqa: N802
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n > server.max_request_bytes:
+                        # refuse before reading: one oversized body must
+                        # not exhaust host memory
+                        self._reply(413, {
+                            "error": f"request body {n} bytes exceeds "
+                                     f"limit {server.max_request_bytes}"})
+                        return
                     obj = json.loads(self.rfile.read(n) or b"{}")
                     if self.path == "/predict":
                         out = server._predict_one(obj)
@@ -146,6 +165,7 @@ class AWRServer:
             cube = np.asarray(cube, np.float64)
             if cube.shape != (3,):
                 raise ValueError("'cube' must be [cx, cy, cz]")
+        self._check_shape(img.shape)
         # through the dynamic batcher: concurrent HTTP threads coalesce
         joints = self.batcher.predict(img, center, cube)
         return {"joints_uvd": np.asarray(joints).tolist()}
@@ -164,16 +184,24 @@ class AWRServer:
         if imgs.ndim != 3:
             raise ValueError(f"'imgs' must be (B, H, W), got "
                              f"{tuple(imgs.shape)}")
-        centers = np.asarray(obj["centers_xyz"], np.float64)
-        if centers.shape != (len(imgs), 3):
-            raise ValueError("'centers_xyz' must be (B, 3)")
-        cubes = obj.get("cubes")
-        if cubes is not None:
-            cubes = np.asarray(cubes, np.float64)
-            if cubes.shape != (len(imgs), 3):
-                raise ValueError("'cubes' must be (B, 3)")
-        out = self.predictor.predict(imgs, centers, cubes)
+        self._check_shape(imgs.shape[1:], n_frames=imgs.shape[0])
+        # through the dispatcher thread (batching.submit_batch): a
+        # direct Predictor call from this handler thread would race the
+        # dispatcher on first-compile of a new bucket and on the
+        # wedge-prone single-chip tunnel (ADVICE r2)
+        out = self.batcher.predict_batch(imgs, obj["centers_xyz"],
+                                         obj.get("cubes"))
         return {"joints_uvd": np.asarray(out).tolist()}
+
+    @classmethod
+    def _check_shape(cls, hw, n_frames=1):
+        h, w = hw
+        if h > cls.MAX_SIDE or w > cls.MAX_SIDE or h < 1 or w < 1:
+            raise ValueError(f"frame shape {(h, w)} outside "
+                             f"(1..{cls.MAX_SIDE})^2")
+        if n_frames > cls.MAX_FRAMES:
+            raise ValueError(f"{n_frames} frames exceeds per-request "
+                             f"limit {cls.MAX_FRAMES}")
 
     # --------------------------------------------------------- lifecycle
     def serve_forever(self):
@@ -212,10 +240,14 @@ def main(argv=None):
     ap.add_argument("--img-size", type=int, default=128)
     ap.add_argument("--downsample", type=int, default=2)
     ap.add_argument("--compute-dtype", default="bfloat16")
-    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address; pass 0.0.0.0 explicitly to "
+                         "expose the (auth-less) server")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--max-request-mb", type=int, default=64,
+                    help="reject request bodies larger than this")
     ap.add_argument("--int8-calib", default="",
                     help=".npy of (N, S, S) normalized calibration "
                          "frames: serve int8 (Predictor.quantize)")
@@ -238,7 +270,8 @@ def main(argv=None):
         pred.quantize(np.load(args.int8_calib))
     srv = AWRServer(pred, host=args.host, port=args.port,
                     max_batch=args.max_batch,
-                    max_wait_ms=args.max_wait_ms)
+                    max_wait_ms=args.max_wait_ms,
+                    max_request_bytes=args.max_request_mb * 1024 * 1024)
     print(f"serving {cfg.net} on {args.host}:{srv.port} "
           f"(int8={hasattr(pred, 'quant')})")
     try:

@@ -168,3 +168,50 @@ def test_bad_request_does_not_fail_coalesced_neighbours(predictor,
         assert f_bad.exception(timeout=120) is not None
     np.testing.assert_allclose(out1, direct[0], rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(out2, direct[1], rtol=1e-4, atol=1e-3)
+
+
+def test_submit_batch_matches_direct_and_coalesces(predictor, frames):
+    """Multi-row requests (the /predict_batch path) flow through the
+    SAME dispatcher thread and coalesce with single-frame traffic
+    (ADVICE r2: a direct Predictor call from handler threads raced the
+    dispatcher on first-compile and on the single-chip tunnel)."""
+    imgs, centers = frames
+    direct = predictor.predict(imgs, centers)
+    with BatchingPredictor(predictor, max_batch=32,
+                           max_wait_ms=200.0) as bp:
+        fb = bp.submit_batch(imgs[:5], centers[:5])
+        f1 = bp.submit(imgs[5], centers[5])
+        fb2 = bp.submit_batch(imgs[6:], centers[6:])
+        outb = np.asarray(fb.result(timeout=60))
+        out1 = np.asarray(f1.result(timeout=60))
+        outb2 = np.asarray(fb2.result(timeout=60))
+        assert bp.n_frames == len(imgs)
+        # the burst coalesces into fewer dispatches than requests
+        assert bp.n_dispatches <= 2
+    assert outb.shape == (5,) + direct.shape[1:]
+    assert out1.shape == direct.shape[1:]
+    np.testing.assert_allclose(outb, direct[:5], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(out1, direct[5], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(outb2, direct[6:], rtol=1e-4, atol=1e-3)
+
+
+def test_submit_batch_larger_than_max_batch(predictor, frames):
+    """A single oversize submit_batch still dispatches (max_batch caps
+    coalescing, not request size)."""
+    imgs, centers = frames
+    direct = predictor.predict(imgs, centers)
+    with BatchingPredictor(predictor, max_batch=4,
+                           max_wait_ms=1.0) as bp:
+        out = np.asarray(bp.predict_batch(imgs, centers, timeout=60))
+    np.testing.assert_allclose(out, direct, rtol=1e-4, atol=1e-3)
+
+
+def test_submit_batch_validates_shapes(predictor, frames):
+    imgs, centers = frames
+    with BatchingPredictor(predictor, max_batch=4) as bp:
+        with pytest.raises(ValueError):
+            bp.submit_batch(imgs[0], centers[:1])  # (H, W), not (B,H,W)
+        with pytest.raises(ValueError):
+            bp.submit_batch(imgs[:3], centers[:2])  # B mismatch
+        with pytest.raises(ValueError):
+            bp.submit_batch(imgs[:3], centers[:3], cubes=[[300.0] * 3])

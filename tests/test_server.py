@@ -156,3 +156,57 @@ def test_malformed_requests_get_4xx(server, frames):
         assert "error" in json.loads(exc.value.read())
     # server still healthy afterwards
     assert _get(server, "/healthz")["ok"]
+
+
+def test_predict_batch_goes_through_dispatcher(server, predictor, frames):
+    """/predict_batch must not touch the Predictor from handler threads
+    (ADVICE r2): its frames are accounted by the batching layer."""
+    imgs, centers = frames
+    before = server.batcher.n_frames
+    out = _post(server, "/predict_batch",
+                {"imgs": imgs[:3].tolist(),
+                 "centers_xyz": centers[:3].tolist()})
+    assert np.asarray(out["joints_uvd"]).shape[0] == 3
+    assert server.batcher.n_frames == before + 3
+
+
+def _post_status(srv, path, obj):
+    """POST returning (status, parsed body) without raising on 4xx."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def test_oversized_body_rejected_413(server):
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                      timeout=30)
+    conn.putrequest("POST", "/predict")
+    # claim a body far beyond max_request_bytes; send nothing
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length",
+                   str(server.max_request_bytes + 1))
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
+
+
+def test_absurd_shape_rejected_400(server, frames):
+    imgs, centers = frames
+    # 2048 tiny frames: fits the body cap but exceeds MAX_FRAMES
+    b = 2048
+    buf = base64.b64encode(np.zeros((b, 2, 2), "<f4").tobytes()).decode()
+    status, out = _post_status(
+        server, "/predict_batch",
+        {"imgs_b64": buf, "shape": [b, 2, 2],
+         "centers_xyz": [[0.0, 0.0, 500.0]] * b})
+    assert status == 400
+    assert "limit" in out.get("error", "")
