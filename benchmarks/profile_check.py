@@ -33,6 +33,76 @@ BATCH = 128
 IMG = 128
 INNER = 8
 
+HBM_PEAK_GBS = 819.0  # v5e datasheet HBM bandwidth
+
+
+def per_op_table(trace_dir: str, inner: int = INNER, top: int = 12,
+                 peak_flops: float | None = None):
+    """Aggregate the device trace into a per-op speed-of-light table.
+
+    Parses the Perfetto JSON the profiler writes (XLA Ops track):
+    every op event carries ``model_flops`` and ``bytes_accessed``, so
+    each row gets an achieved-TFLOPS / achieved-GB/s and the binding
+    resource, automating the hand-built BENCH_NOTES_r02.md table.
+    Durations are divided by ``inner`` (the chained-scan iteration
+    count) to report per-iteration cost.
+    """
+    import collections
+    import glob
+    import gzip
+
+    fs = sorted(glob.glob(os.path.join(
+        trace_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not fs:
+        return []
+    data = json.load(gzip.open(fs[-1]))
+    events = data.get("traceEvents", [])
+    dev_pid = {e["pid"] for e in events
+               if e.get("ph") == "M" and e.get("name") == "process_name"
+               and "TPU" in str(e.get("args", {}).get("name", ""))}
+    op_tid = {e["tid"] for e in events
+              if e.get("ph") == "M" and e.get("name") == "thread_name"
+              and e.get("args", {}).get("name") == "XLA Ops"
+              and e["pid"] in dev_pid}
+    agg = collections.defaultdict(lambda: dict(dur=0.0, n=0, flops=0.0,
+                                               bytes=0.0, cat="", op=""))
+    total_us = 0.0
+    for e in events:
+        if (e.get("ph") != "X" or e.get("pid") not in dev_pid
+                or e.get("tid") not in op_tid):
+            continue
+        a = e.get("args", {})
+        name = e["name"]
+        if name.startswith(("while", "jit_")):
+            total_us = max(total_us, e.get("dur", 0.0))
+            continue
+        row = agg[name]
+        row["dur"] += e.get("dur", 0.0)
+        row["n"] += 1
+        row["flops"] = float(a.get("model_flops", 0) or 0)
+        row["bytes"] = float(a.get("raw_bytes_accessed",
+                                   a.get("bytes_accessed", 0)) or 0)
+        row["cat"] = a.get("hlo_category", "")
+        row["op"] = a.get("tf_op", "").split("/")[-1].rstrip(":")
+    peak = peak_flops or 197e12
+    rows = []
+    for name, r in sorted(agg.items(), key=lambda kv: -kv[1]["dur"]):
+        dur_s = r["dur"] / inner * 1e-6
+        reps = max(r["n"] // inner, 1)
+        fl = r["flops"] * reps  # per-iteration flops of all instances
+        by = r["bytes"] * reps
+        rows.append(dict(
+            name=name, op=r["op"], category=r["cat"],
+            ms_per_iter=round(r["dur"] / inner / 1e3, 3),
+            pct=round(100 * r["dur"] / max(total_us, 1e-9), 1),
+            gflops=round(fl / 1e9, 1),
+            mfu=round(fl / max(dur_s, 1e-12) / peak, 3),
+            gbps=round(by / max(dur_s, 1e-12) / 1e9, 1),
+            bw_frac=round(by / max(dur_s, 1e-12) / 1e9 / HBM_PEAK_GBS,
+                          3),
+        ))
+    return rows[:top]
+
 
 def profile_train(trace_dir: str, batch: int = 128, outer: int = 4):
     """Chained-train-step trace + implied MFU (the training analog of
@@ -115,6 +185,92 @@ def profile_train(trace_dir: str, batch: int = 128, outer: int = 4):
         assert mfu < 1.0, result
 
 
+def profile_int8(trace_dir: str, batch: int = 512, outer: int = 4):
+    """Where does the int8 budget go? (VERDICT r2 weak-1)
+
+    Chained int8 forward+decode (quant_mode='int8', calibrated scales)
+    timed with bench.py's methodology, traced, and decomposed into the
+    per-op speed-of-light table — per-op MFU against the v5e's 394
+    TOPS int8 peak plus achieved HBM bandwidth, so each row says
+    whether it is MXU-bound, bandwidth-bound, or overhead (dequant
+    converts, requant rounding) that int8 added.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awr_tpu.config import resnet_config
+    from awr_tpu.models import build_model
+    from awr_tpu.models.quant import calibrate
+    from awr_tpu.ops.decode import decode_offsets
+    from awr_tpu.utils.profiling import chip_peak, flops_of
+
+    cfg = resnet_config(18, compute_dtype="bfloat16")
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample,
+                        dtype=jnp.bfloat16)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 1)),
+                   train=True)
+    params, batch_stats = v["params"], v["batch_stats"]
+
+    rng = np.random.RandomState(0)
+    calib_model = build_model(cfg.net, cfg.jt_num, cfg.downsample,
+                              dtype=jnp.bfloat16, quant_mode="calib")
+    calib = [rng.uniform(-1, 1, (32, IMG, IMG)).astype(np.float32)
+             for _ in range(2)]
+    quant = calibrate(calib_model, params, batch_stats, calib,
+                      percentile=99.99)
+    q8 = build_model(cfg.net, cfg.jt_num, cfg.downsample,
+                     dtype=jnp.bfloat16, quant_mode="int8")
+
+    @jax.jit
+    def infer(img):
+        out = q8.apply({"params": params, "batch_stats": batch_stats,
+                        "quant": quant}, img[..., None], train=False)
+        return decode_offsets(out, img, cfg.kernel_size)
+
+    @jax.jit
+    def chained(img):
+        def body(carry, _):
+            jt = infer(carry)
+            return carry * 0.999999 + jnp.sum(jt) * 1e-9, jnp.sum(jt)
+        img_out, sums = jax.lax.scan(body, img, None, length=INNER)
+        return img_out, jnp.sum(sums)
+
+    salt = int.from_bytes(os.urandom(4), "little") / 2.0**32
+    img = jnp.asarray(
+        rng.uniform(-1, 1, (batch, IMG, IMG)).astype(np.float32)
+        + np.float32(salt * 1e-3))
+    img, s = chained(img)
+    float(s)  # compile + warmup
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(outer):
+        img, s = chained(img)
+        acc += float(s)
+    ms = (time.perf_counter() - t0) / (outer * INNER) * 1e3
+    assert np.isfinite(acc)
+
+    os.makedirs(trace_dir, exist_ok=True)
+    with jax.profiler.trace(trace_dir):
+        img, s = chained(img)
+        float(s)
+
+    fl = flops_of(infer, img)
+    int8_peak = 2 * chip_peak()  # v5e: 394 TOPS int8 = 2x bf16
+    result = dict(mode="int8", net="resnet_18", batch=batch,
+                  ms_per_batch=round(ms, 3),
+                  frames_per_sec=round(batch / ms * 1e3, 1),
+                  graph_gflops=round(fl / 1e9, 1) if fl else None,
+                  int8_mfu=(round(fl / (ms * 1e-3) / int8_peak, 4)
+                            if fl else None),
+                  trace_dir=trace_dir)
+    print(json.dumps(result))
+    for row in per_op_table(trace_dir, peak_flops=int8_peak):
+        print(json.dumps(row))
+    if result["int8_mfu"] is not None:
+        assert result["int8_mfu"] < 1.0, result
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--trace-dir", default="runs/trace_r02")
@@ -123,9 +279,20 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="trace + MFU-check a chained TRAIN step "
                          "instead of the inference path")
+    ap.add_argument("--int8", action="store_true",
+                    help="trace the int8 (quant_mode='int8') forward "
+                         "and print the per-op speed-of-light table")
+    ap.add_argument("--batch", type=int, default=512,
+                    help="batch size for --int8")
+    ap.add_argument("--table", action="store_true",
+                    help="also print the per-op table for the default "
+                         "bf16 inference trace")
     args = ap.parse_args()
     if args.train:
         profile_train(args.trace_dir)
+        return
+    if args.int8:
+        profile_int8(args.trace_dir, batch=args.batch)
         return
 
     import jax
@@ -204,6 +371,9 @@ def main():
         trace_bytes=trace_bytes,
     )
     print(json.dumps(result))
+    if args.table:
+        for row in per_op_table(args.trace_dir):
+            print(json.dumps(row))
     # Chaining must amortize the tunnel round-trip (measured ~236 ms per
     # synced dispatch on this box — the tunnel RPC, not device compute,
     # dominates single calls; that is exactly why bench.py chains).

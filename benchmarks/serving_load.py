@@ -33,10 +33,27 @@ identical for any H0 x W0).
 base64-float32 payloads): clients become closed-loop HTTP POSTers, and
 coalescing happens inside the server's own batching layer.  Rows get an
 ``http_`` mode prefix; the delta vs the in-process rows is the
-HTTP/JSON overhead.
+HTTP/JSON overhead (the http_sequential row runs with max_wait_ms=0 so
+lone requests do not also pay the coalescing window).
+
+``--open-loop-qps`` adds OPEN-LOOP rows (fixed offered rate, VERDICT r2
+weak-6): a pacing thread submits one frame every 1/QPS seconds through
+``BatchingPredictor.submit`` regardless of completions, and latency is
+measured from each request's SCHEDULED arrival time to its future
+resolving — so a backed-up queue shows up as latency (no coordinated
+omission), unlike the closed-loop rows where clients self-throttle.
+Each offered rate runs once per ``--open-loop-knobs`` setting
+(``wait_ms:max_batch`` pairs), producing the p50/p99-vs-offered-load
+surface that sizes the knobs against a latency SLO (docs/DESIGN.md §9).
+A scenario is ``saturated`` when it cannot keep pace with its own
+schedule (arrival backlog at the end) — its latencies are still
+reported (they are the honest queueing penalty), but achieved fps,
+not offered, is the capacity number.
 
 Usage: python benchmarks/serving_load.py [--net resnet_18]
        [--requests 256] [--concurrency 8 32 128] [--http]
+       [--open-loop-qps 1000 4000 8000]
+       [--open-loop-knobs 2.0:256 0.5:64 8.0:256]
        [--out benchmarks/serving_load_r02.jsonl]
 """
 
@@ -73,8 +90,23 @@ def main():
                     help="drive through awr_tpu.server.AWRServer on a "
                          "loopback port (JSON/base64 over HTTP) instead "
                          "of in-process BatchingPredictor calls")
+    ap.add_argument("--open-loop-qps", type=float, nargs="*",
+                    default=[],
+                    help="offered request rates for open-loop (fixed-"
+                         "QPS) scenarios; empty = closed-loop only")
+    ap.add_argument("--open-loop-requests", type=int, default=512,
+                    help="frames per open-loop scenario")
+    ap.add_argument("--open-loop-knobs", nargs="*",
+                    default=["2.0:256"],
+                    help="batcher settings per open-loop scenario, "
+                         "each 'max_wait_ms:max_batch'")
     ap.add_argument("--out", default="benchmarks/serving_load_r02.jsonl")
     args = ap.parse_args()
+    knobs = [(float(w), int(b)) for w, b in
+             (k.split(":") for k in args.open_loop_knobs)]
+    if args.open_loop_qps and args.http:
+        ap.error("--open-loop-qps is in-process only (it paces "
+                 "BatchingPredictor.submit directly)")
 
     import jax
     import jax.numpy as jnp
@@ -112,6 +144,10 @@ def main():
     n_total = 4 * args.max_batch + 3 * args.sequential_requests
     for conc in args.concurrency:
         n_total += 3 * conc * max(1, args.requests // conc)
+    if args.open_loop_qps:
+        n_total += (len(args.open_loop_qps) * len(knobs)
+                    * args.open_loop_requests)
+        n_total += 4 * max(b for _, b in knobs)  # extra warm ladder
     pool = rng.uniform(420.0, 580.0,
                        (n_total, RAW, RAW)).astype(np.float32)
     pool[:, 0, 0] = 500.0 + salt + np.arange(n_total) * 1e-3
@@ -165,6 +201,9 @@ def main():
     # (remote compiles would otherwise pollute the timings)
     b = 1
     top = min(args.max_batch, 2 * max(args.concurrency))
+    if args.open_loop_qps:
+        # open-loop dispatch groups can reach any knob's max_batch
+        top = max(top, *(b for _, b in knobs))
     while b <= top:
         pred.predict(np.stack([frame(i) for i in range(b)]),
                      np.tile(center, (b, 1)))
@@ -184,8 +223,16 @@ def main():
         return time.perf_counter() - t0
 
     n_seq = args.sequential_requests
+    if args.http:
+        # a lone request would otherwise pay the full max_wait_ms
+        # coalescing window per call, conflating batcher wait with the
+        # HTTP/JSON overhead this row is meant to isolate (ADVICE r2);
+        # restored before the concurrent scenarios below
+        srv.batcher.max_wait_s = 0.0
     w1 = run_sequential(n_seq)
     w2 = run_sequential(2 * n_seq)  # 2x-work linearity gate
+    if args.http:
+        srv.batcher.max_wait_s = args.max_wait_ms / 1000.0
     lin = linearity(w1, w2, "sequential")
     rows.append(dict(mode=prefix + "sequential", requests=3 * n_seq,
                      wall_s=round(w1 + w2, 3),
@@ -253,6 +300,56 @@ def main():
             frames_per_dispatch=round(n_frames / max(n_disp, 1), 1),
             linearity=lin))
         print(json.dumps(rows[-1]))
+
+    # ---- open-loop (fixed offered QPS) scenarios: latency vs load
+    def run_open_loop(qps, wait_ms, max_batch, n):
+        """Submit ``n`` frames at a fixed rate; latency is measured
+        from each request's SCHEDULED arrival (t0 + i/qps), so queue
+        backlog counts against latency (no coordinated omission)."""
+        with BatchingPredictor(pred, max_batch=max_batch,
+                               max_wait_ms=wait_ms) as bp:
+            futures = []
+            sched = []
+            t0 = time.perf_counter() + 0.05  # headroom for first tick
+            behind = 0.0
+            for i in range(n):
+                t_sched = t0 + i / qps
+                now = time.perf_counter()
+                if now < t_sched:
+                    time.sleep(t_sched - now)
+                else:
+                    behind = max(behind, now - t_sched)
+                sched.append(t_sched)
+                futures.append(bp.submit(frame(), center))
+            lat = []
+            for t_sched, fut in zip(sched, futures):
+                out = fut.result(timeout=600)
+                assert np.isfinite(np.asarray(out)).all()
+                lat.append(time.perf_counter() - t_sched)
+            t_end = time.perf_counter()
+            n_disp = bp.n_dispatches
+        lat_ms = np.asarray(lat) * 1e3
+        achieved = n / (t_end - t0)
+        # saturated = the pacing thread itself fell behind schedule OR
+        # drain ran long past the offered window
+        saturated = bool(behind > 0.25 / qps * n
+                         or achieved < 0.9 * qps)
+        return dict(
+            mode="openloop", qps_offered=qps,
+            qps_achieved=round(achieved, 1), requests=n,
+            max_wait_ms=wait_ms, max_batch=max_batch,
+            p50_latency_ms=round(float(np.percentile(lat_ms, 50)), 2),
+            p99_latency_ms=round(float(np.percentile(lat_ms, 99)), 2),
+            mean_latency_ms=round(float(np.mean(lat_ms)), 2),
+            dispatches=n_disp,
+            frames_per_dispatch=round(n / max(n_disp, 1), 1),
+            saturated=saturated)
+
+    for wait_ms, max_batch in (knobs if args.open_loop_qps else []):
+        for qps in args.open_loop_qps:
+            rows.append(run_open_loop(qps, wait_ms, max_batch,
+                                      args.open_loop_requests))
+            print(json.dumps(rows[-1]))
 
     if srv is not None:
         srv.close()
