@@ -197,21 +197,42 @@ class Predictor:
     # ------------------------------------------------------------ export
     def export_stablehlo(self, batch_size: int,
                          path: Optional[str] = None,
-                         platforms=None) -> bytes:
-        """Serialize the forward+decode graph to portable StableHLO.
+                         platforms=None,
+                         raw_hw: Optional[tuple] = None) -> bytes:
+        """Serialize the serving graph to portable StableHLO.
 
         Production-serving artifact (beyond the reference, which has no
         export story): the returned bytes are a versioned ``jax.export``
         payload — StableHLO plus calling convention — that any later
         process can run with ``jax.export.deserialize(payload).call(
-        img)`` WITHOUT this package's model code or a weights file: the
+        ...)`` WITHOUT this package's model code or a weights file: the
         loaded params (and int8 calibration scales, if :meth:`quantize`
         ran) are baked into the module as constants.
 
-        The exported entry point takes one (batch_size, img_size,
-        img_size) float32 normalized depth batch and returns
-        (batch_size, jt_num, 3) normalized uvd joints — i.e. exactly
-        :meth:`predict_normalized` without the bucketing.
+        Two graph extents:
+
+        ``raw_hw=None`` (default): the entry point takes one
+        (batch_size, img_size, img_size) float32 normalized depth batch
+        and returns (batch_size, jt_num, 3) normalized uvd joints —
+        i.e. exactly :meth:`predict_normalized` without the bucketing.
+
+        ``raw_hw=(H0, W0)``: the FULL serving graph — fused device
+        crop/z-clip/resize/normalize (awr_tpu.data.device), forward,
+        decode, and the de-normalization back to camera coordinates —
+        so a deployment needs neither this package's model code nor
+        cv2.  The entry point is
+        ``call(imgs_raw, crop_params, center_z, cube_z)`` with
+        imgs_raw (B, H0, W0) float32 raw mm depth, ``crop_params`` the
+        dict :func:`awr_tpu.data.transforms.crop_params_np` returns
+        (including ``M``; that pure-numpy scalar-parameter function is
+        the ONLY host-side dependency, kept on host because its fp64
+        ``int()``-truncation bounds math is parity-load-bearing —
+        data/device.py module docstring), and center_z/cube_z (B,)
+        float32 — returning (B, jt_num, 3) camera-coordinate
+        (u px, v px, d mm) joints, i.e. :meth:`predict` end to end.
+        The in-graph M inversion is float32 (vs float64 in
+        :meth:`denormalize`): for the well-conditioned crop affines
+        this is sub-0.01 px (asserted by the export roundtrip test).
 
         ``platforms``: optional list such as ``("tpu", "cpu")`` to
         lower for multiple targets; default is the current backend.
@@ -220,15 +241,45 @@ class Predictor:
 
         params, batch_stats, infer = self.params, self.batch_stats, \
             self._infer
+        size = self.cfg.img_size
 
-        def entry(img):
-            return infer(params, batch_stats, img)
+        if raw_hw is None:
+            def entry(img):
+                return infer(params, batch_stats, img)
 
-        spec = jax.ShapeDtypeStruct(
-            (batch_size, self.cfg.img_size, self.cfg.img_size),
-            jnp.float32)
+            specs = (jax.ShapeDtypeStruct((batch_size, size, size),
+                                          jnp.float32),)
+        else:
+            from awr_tpu.data.device import _crop_normalize_kernel
+
+            H0, W0 = raw_hw
+
+            def entry(imgs_raw, crop_params, center_z, cube_z):
+                M = crop_params["M"].astype(jnp.float32)
+                p = {k: v for k, v in crop_params.items() if k != "M"}
+                img_n = _crop_normalize_kernel(imgs_raw, p, center_z,
+                                               cube_z, size)
+                pred = infer(params, batch_stats, img_n)
+                # in-graph denormalize (evaluation.py:38-43 math)
+                uv_px = (pred[..., :2] + 1.0) * (size / 2.0)
+                d_mm = (pred[..., 2] * cube_z[:, None] / 2.0
+                        + center_z[:, None])
+                uv1 = jnp.concatenate(
+                    [uv_px, jnp.ones_like(uv_px[..., :1])], -1)
+                uv = jnp.einsum("bij,bkj->bki", jnp.linalg.inv(M), uv1)
+                return jnp.concatenate([uv[..., :2], d_mm[..., None]],
+                                       -1)
+
+            f32 = jnp.float32
+            sB = lambda *s, dt=f32: jax.ShapeDtypeStruct(
+                (batch_size,) + s, dt)
+            p_spec = {k: sB(dt=jnp.int32) for k in
+                      ("us", "ue", "vs", "ve", "sw", "sh", "tx", "ty")}
+            p_spec.update(zs=sB(), ze=sB(), M=sB(3, 3))
+            specs = (sB(H0, W0), p_spec, sB(), sB())
+
         exported = jax_export.export(
-            jax.jit(entry), platforms=platforms)(spec)
+            jax.jit(entry), platforms=platforms)(*specs)
         payload = exported.serialize()
         if path:
             with open(path, "wb") as fh:
