@@ -113,10 +113,13 @@ def _decode_kernel(off_ref, img_ref, ex_ref, out_ref, *, J, F, kernel,
 
 def _pick_bs(B: int, itemsize: int) -> int:
     """Samples per grid step: the double-buffered input blocks plus the
-    ~2.5 MiB/sample of f32 loop temporaries must fit the 16 MiB scoped
-    VMEM (bs=4 at bf16 measured 17.85 MiB and was rejected), and bs
-    must divide B exactly."""
-    bs = min(2, B)
+    f32 loop temporaries (every live (P, *) f32 temporary costs a full
+    2 MiB of (8, 128) tiles regardless of channel count) must fit the
+    16 MiB scoped VMEM, and bs must divide B exactly.  Measured by the
+    Mosaic stack allocator on v5e: bf16 bs=4 -> 17.85 MiB (rejected),
+    f32 bs=2 -> 23.92 MiB (rejected) — hence 2 samples per step at
+    bf16, 1 at f32."""
+    bs = min(2 if itemsize < 4 else 1, B)
     while B % bs:
         bs -= 1
     return bs

@@ -177,9 +177,13 @@ def run_infer(net: str, batch: int, dtype_name: str, img_size: int = 128,
 
 def run_decode(batch: int, feat: int = 64, jt_num: int = 14,
                kernel: float = 1.0, img_size: int = 128, outer: int = 5,
-               use_pallas: bool = True):
+               use_pallas: bool = True, dtype_name: str = "float32"):
     """Decode-only: the AWR adaptive weighted integration
-    (offset2joint_softmax), Pallas kernel vs XLA-fused jnp twin."""
+    (offset2joint_softmax), Pallas kernel vs XLA-fused jnp twin.
+
+    ``dtype_name`` sets the dense-map input dtype: bfloat16 matches the
+    hot path (the backbones emit bf16; the Pallas kernel streams it at
+    native width, the jnp twin upcasts inside the fusion)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -191,15 +195,17 @@ def run_decode(batch: int, feat: int = 64, jt_num: int = 14,
         def body(carry, _):
             jt = decode_offsets(carry, img, kernel,
                                 use_pallas=use_pallas)
-            nxt = carry * 0.999999 + jnp.sum(jt) * 1e-9
+            nxt = (carry * 0.999999
+                   + (jnp.sum(jt) * 1e-9).astype(carry.dtype))
             return nxt, jnp.sum(jt)
         off_out, sums = jax.lax.scan(body, off, None, length=INNER)
         return off_out, jnp.sum(sums)
 
     rng = np.random.RandomState(0)
+    dt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     off = jnp.asarray(
         rng.uniform(-1, 1, (batch, feat, feat, 4 * jt_num))
-        .astype(np.float32) + np.float32(_salt() * 1e-3))
+        .astype(np.float32) + np.float32(_salt() * 1e-3)).astype(dt)
     img = jnp.asarray(rng.uniform(-1, 1, (batch, img_size, img_size))
                       .astype(np.float32))
 
@@ -208,7 +214,7 @@ def run_decode(batch: int, feat: int = 64, jt_num: int = 14,
         functools.partial(chained, img=img), off, outer)
     mfu = _mfu_gate(per_iter, _compiled_flops(chained, off, img=img),
                     "float32")
-    return dict(batch=batch, feat=feat, mode="decode",
+    return dict(batch=batch, feat=feat, mode="decode", dtype=dtype_name,
                 decode="pallas" if use_pallas else "xla",
                 ms_per_batch=round(per_iter * 1e3, 3),
                 frames_per_sec=round(batch / per_iter, 1),
@@ -370,6 +376,9 @@ def main():
                          "serial steps per dispatch; device-bound)")
     ap.add_argument("--decode", action="store_true",
                     help="decode-only Pallas-vs-XLA comparison")
+    ap.add_argument("--decode-dtypes", default="float32",
+                    help="comma list of dense-map dtypes for --decode "
+                         "(bfloat16 = the hot path the backbones feed)")
     ap.add_argument("--compare-decode", action="store_true",
                     help="run infer rows with BOTH decode spellings")
     ap.add_argument("--skip-infer", action="store_true",
@@ -384,8 +393,11 @@ def main():
     batches = [int(b) for b in args.batches.split(",")]
     if args.decode:
         for b in batches:
-            print(json.dumps(run_decode(b, use_pallas=True)))
-            print(json.dumps(run_decode(b, use_pallas=False)))
+            for dt in args.decode_dtypes.split(","):
+                print(json.dumps(run_decode(b, use_pallas=True,
+                                            dtype_name=dt.strip())))
+                print(json.dumps(run_decode(b, use_pallas=False,
+                                            dtype_name=dt.strip())))
     for net in args.nets.split(","):
         for b in batches:
             if args.compare_decode:
