@@ -12,6 +12,11 @@ the fine-tune (freeze-observer QAT, the standard recipe); serving then
 runs ``quant_mode='int8'`` with the SAME scales, so the deployed int8
 graph computes exactly what the fine-tune optimized.
 
+The default budget is GAP-SCALED (:func:`gap_scaled_recipe`): measure
+the PTQ delta on held-out data first, then fine-tune with a budget
+matched to it — an aggressive recipe on an already-small gap overfits
+the tuning set and makes int8 WORSE (measured on hourglass_1).
+
 No reference counterpart (the reference is fp32 CUDA only;
 train.py/test.py have no quantization path); the bar is our own test
 suite (tests/test_quant.py) plus the measured accuracy recovery on a
@@ -37,6 +42,34 @@ from awr_tpu.training.steps import TrainState, make_train_step
 DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
+def gap_scaled_recipe(ptq_delta_mm: float) -> tuple:
+    """The default QAT budget, scaled to the PTQ gap being recovered.
+
+    Returns ``(steps, lr)``.  Measured provenance (both runs on chip,
+    committed):
+
+    - **Large gap** (resnet_18, PTQ +0.129 mm): 500 steps @ 1e-4 closed
+      the gap and kept improving past the fp model
+      (runs/convergence_qat_r02.json).
+    - **Small gap** (hourglass_1, PTQ +0.072 mm): the same aggressive
+      recipe OVERFIT the tuning set and scored WORSE held-out
+      (0.742 -> 0.802); 100 steps @ 1e-5 landed at +0.003
+      (runs/convergence_qat_hourglass_r02{,b}.json).
+
+    The regime boundary is set at 0.1 mm — between the two measured
+    gaps.  When the weights are already near the int8 grid there is
+    little signal to learn and a lot of tuning-set noise to memorize,
+    so the budget must shrink with the gap.  Callers that know their
+    PTQ delta (eval on held-out data with ``quant_mode='int8'`` before
+    and after :func:`awr_tpu.models.quant.calibrate`) should use this
+    instead of hand-picking ``steps``/``lr``;
+    ``benchmarks/convergence_run.py --qat-auto`` is the worked example.
+    """
+    if ptq_delta_mm >= 0.1:
+        return 500, 1e-4
+    return 100, 1e-5
+
+
 def finetune(cfg: Config, params, batch_stats,
              batches: Sequence[Dict[str, np.ndarray]], *,
              steps: int = 300, lr: float = 1e-4,
@@ -57,12 +90,10 @@ def finetune(cfg: Config, params, batch_stats,
       lr: fine-tune learning rate (default 1e-4, a tenth of the
         reference recipe's 1e-3 — the task is adaptation, not
         training).
-        Scale BOTH to the PTQ gap being recovered: measured on chip,
-        a large gap (resnet_18 +0.13 mm) closed with 500 steps @ 1e-4
-        and kept improving past fp, while a small gap (hourglass_1
-        +0.07 mm) needed only 100 steps @ 1e-5 — the aggressive
-        recipe there overfit the tuning batches and scored WORSE
-        held-out (runs/convergence_qat_hourglass_r02{,b}.json).
+        Scale BOTH to the PTQ gap being recovered:
+        :func:`gap_scaled_recipe` codifies the measured default
+        (large gap -> 500 @ 1e-4, small gap -> 100 @ 1e-5; see its
+        docstring for the on-chip provenance).
       percentile: activation-scale calibration statistic (see
         serving.Predictor.quantize for why p99.99, not the max).
       quant: optional pre-calibrated activation scales; skips the

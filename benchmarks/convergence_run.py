@@ -54,6 +54,12 @@ def main():
                          "— how much of the PTQ accuracy cost QAT "
                          "recovers")
     ap.add_argument("--qat-lr", type=float, default=1e-4)
+    ap.add_argument("--qat-auto", action="store_true",
+                    help="with --int8-eval: pick the QAT budget from "
+                         "the measured PTQ delta via "
+                         "training/qat.gap_scaled_recipe (the "
+                         "documented default recipe) instead of "
+                         "--qat-steps/--qat-lr")
     args = ap.parse_args()
 
     from awr_tpu.config import Config
@@ -109,6 +115,12 @@ def main():
             final_state_int8_mpe_mm=round(float(int8_mpe), 3),
             int8_mpe_delta_mm=round(float(int8_mpe - fp_final_mpe), 3))
 
+        if args.qat_auto:
+            from awr_tpu.training.qat import gap_scaled_recipe
+
+            args.qat_steps, args.qat_lr = gap_scaled_recipe(
+                float(int8_mpe - fp_final_mpe))
+            int8_metrics["qat_recipe"] = "gap_scaled"
         if args.qat_steps > 0:
             # QAT: fine-tune the trained weights to the int8 grid with
             # the SAME frozen scales, then score the int8 path again —

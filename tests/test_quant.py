@@ -344,3 +344,25 @@ def test_qat_matches_int8_under_default_matmul_precision():
     err = float(jnp.max(jnp.abs(jt_q8 - jt_qat)))
     assert err < 0.02, (
         f"qat/int8 drift {err:.4f} cube units under default precision")
+
+
+def test_gap_scaled_recipe_selection():
+    """The documented default QAT budget scales with the PTQ gap
+    (training/qat.gap_scaled_recipe; provenance in its docstring).
+
+    Guards the two measured regimes and the boundary: an aggressive
+    budget on a small gap overfits (hourglass_1 0.742 -> 0.802
+    held-out), so small gaps MUST map to the gentle recipe.
+    """
+    from awr_tpu.training.qat import gap_scaled_recipe
+
+    # the two measured gaps land in their measured regimes
+    assert gap_scaled_recipe(0.129) == (500, 1e-4)   # resnet_18 r02
+    assert gap_scaled_recipe(0.072) == (100, 1e-5)   # hourglass_1 r02
+    # boundary: 0.1 mm belongs to the aggressive regime
+    assert gap_scaled_recipe(0.1) == (500, 1e-4)
+    assert gap_scaled_recipe(0.0999) == (100, 1e-5)
+    # degenerate gaps (PTQ already better) stay gentle
+    assert gap_scaled_recipe(-0.05) == (100, 1e-5)
+    steps, lr = gap_scaled_recipe(5.0)
+    assert steps == 500 and lr == 1e-4
