@@ -35,6 +35,16 @@ bf16[4096, 56->128 lanes] = 1 MiB per sample, ~1.3 us at the v5e's
 819 GB/s, so decode at batch 512 bottoms out around 0.7 ms.  The jnp
 spelling's masked/softmaxed intermediates re-round-trip that map
 several times; this kernel reads it once.
+
+STATUS — retired from the hot path (measured, r3).  Even at v3, XLA's
+contraction-form twin (ops/functional.offset2joint_softmax) wins at
+every batch size and dtype on the v5e (benchmarks/sweep_r03_decode
+.jsonl; batch 1024 bf16: 76,014 fps XLA vs 48,269 Pallas; batch 32:
+4,954 vs 4,909).  In context XLA also fuses the decode with its
+producer (the final 1x1 conv), which a pallas_call — an opaque fusion
+barrier — cannot.  ``Config.use_pallas`` defaults to False; the kernel
+stays as a fully-tested reference implementation and the repo's worked
+Pallas example.
 """
 
 from __future__ import annotations
