@@ -1,9 +1,19 @@
 """Post-training int8 quantization for the inference path.
 
-Beyond-reference capability (the reference runs fp32 CUDA only): the
-TPU v5e MXU has 2x the int8 throughput of bf16 (394 TOPS vs 197
-TFLOPS), so a quantized forward can beat the bf16 speed-of-light
-ceiling documented in BENCH_NOTES_r02.md.  Scheme:
+Beyond-reference capability (the reference runs fp32 CUDA only).
+What int8 buys HERE — measured, not the datasheet pitch: the v5e MXU
+lists 2x int8 throughput (394 TOPS vs 197 TFLOPS bf16), but XLA's TPU
+*convolution* lowering never engages the double-rate path — every
+quantized conv in this graph sustains the bf16 FLOP rate (0.30-0.47
+int8-MFU == 0.6-0.94 bf16-MFU, runs/trace_r03_int8), while a plain
+int8 ``dot_general`` on the same chip reaches 212 TOPS (1.08x the
+bf16 peak, benchmarks/int8_probe_r03.jsonl).  Re-spelling the big
+deconv as stacked-K dot_generals was tried and measured SLOWER than
+the conv spelling (9.07 ms vs 5.98 ms — the stacked input copy and
+K=1024 matmul rate eat the win; same probe file).  So on current
+XLA, int8's real value for conv nets is halved HBM traffic: +26%
+end-to-end at batch 512 (15,721 fps vs 12,492 bf16), not 2x.  Full
+analysis: BENCH_NOTES_r03.md.  Scheme:
 
 - **Weights**: symmetric per-output-channel int8, scales derived from
   the fp32 params at trace time (no separate weight checkpoint — the
