@@ -16,6 +16,15 @@ a ~8x throughput win at ~zero latency cost.
 Design notes (TPU-shaped):
 - One dispatcher thread owns the device; clients never touch JAX
   state, so there is no cross-thread tracing or dispatch contention.
+- Dispatch and finalize are PIPELINED: the dispatcher enqueues the
+  whole device chain without blocking (``Predictor.predict_async``)
+  and a single completer thread blocks on results in dispatch order,
+  so group N+1's host prep + upload overlaps group N's execution +
+  download.  On a transport with real round-trip latency (the serving
+  case this was measured on), un-overlapped RTT — not device compute —
+  is the capacity ceiling; ``pipeline_depth`` bounds dispatched-but-
+  unfinalized groups so a slow consumer backpressures instead of
+  queueing unbounded device work.
 - The dispatcher drains WHATEVER is queued (up to ``max_batch``) the
   moment it goes idle; ``max_wait_ms`` only caps how long the FIRST
   request of a group waits for company while the device is free.
@@ -66,9 +75,11 @@ class BatchingPredictor:
     """
 
     def __init__(self, predictor, max_batch: int = 64,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, pipeline_depth: int = 2):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be >= 1")
         self._p = predictor
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
@@ -81,9 +92,22 @@ class BatchingPredictor:
         # observability: groups dispatched and frames served so far
         self.n_dispatches = 0
         self.n_frames = 0
+        # dispatch/finalize pipeline: the dispatcher enqueues device
+        # work via Predictor.predict_async and hands (finalize, group)
+        # here; the completer thread blocks on results and resolves
+        # futures.  The bounded queue is the backpressure: at most
+        # ``pipeline_depth`` groups are dispatched-but-unfinalized, so
+        # the next group's upload overlaps the previous group's device
+        # execution + result download instead of waiting for it.
+        self._cq: "queue.Queue[Optional[tuple]]" = queue.Queue(
+            maxsize=int(pipeline_depth))
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="awr-batching-dispatch")
+        self._completer = threading.Thread(target=self._complete,
+                                           daemon=True,
+                                           name="awr-batching-complete")
         self._worker.start()
+        self._completer.start()
 
     # ------------------------------------------------------------ client
     def submit(self, img, center_xyz, cube=None) -> Future:
@@ -157,7 +181,8 @@ class BatchingPredictor:
             self._closed = True
             self._q.put(None)  # sentinel; no submit can enqueue after
         if wait:
-            self._worker.join()
+            self._worker.join()     # dispatches the backlog, then
+            self._completer.join()  # finalizes every in-flight group
 
     def __enter__(self):
         return self
@@ -204,6 +229,7 @@ class BatchingPredictor:
                 # returns stop only after consuming it; exit after the
                 # final group completes.
                 break
+        self._cq.put(None)  # all groups dispatched; stop the completer
 
     def _dispatch(self, all_requests: Sequence[_Request]):
         # clients may send different camera resolutions; frames only
@@ -226,15 +252,14 @@ class BatchingPredictor:
                     for r in group])
             else:
                 cubes = None
-            out = self._p.predict(imgs, centers, cubes)
+            # per-request failures (malformed centers/cubes) surface
+            # HERE, in the host-prep half of predict_async, so the
+            # solo-retry isolation below still catches them; only the
+            # device sync is deferred to the completer
+            finalize = self._p.predict_async(imgs, centers, cubes)
             self.n_dispatches += 1
             self.n_frames += len(imgs)
-            off = 0
-            for r in group:
-                n = r.imgs.shape[0]
-                r.future.set_result(out[off:off + n] if r.batched
-                                    else out[off])
-                off += n
+            self._cq.put((finalize, list(group)))  # blocks at depth
         except BaseException as e:  # noqa: BLE001 - must fail futures
             if len(group) > 1:
                 # one malformed request must not fail its co-batched
@@ -246,3 +271,30 @@ class BatchingPredictor:
             r = group[0]
             if not r.future.done():
                 r.future.set_exception(e)
+
+    # --------------------------------------------------------- completer
+    def _complete(self):
+        """Resolve dispatched groups in dispatch order.
+
+        A failure that first surfaces at finalize time (i.e. AFTER the
+        device accepted the dispatch) is an infrastructure fault —
+        device OOM, a wedged transport — not a malformed request, so it
+        fails every future in the group rather than re-running the
+        group solo through a device that is already unhealthy."""
+        while True:
+            item = self._cq.get()
+            if item is None:
+                return
+            finalize, group = item
+            try:
+                out = finalize()
+                off = 0
+                for r in group:
+                    n = r.imgs.shape[0]
+                    r.future.set_result(out[off:off + n] if r.batched
+                                        else out[off])
+                    off += n
+            except BaseException as e:  # noqa: BLE001 - must fail futures
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)

@@ -140,7 +140,11 @@ def crop_normalize_batch(imgs, centers_uvd, cubes, paras, dsize: int):
       imgs: (B, H0, W0) raw mm depth (device or host array).
       centers_uvd: (B, 3) host array; cubes: (B, 3); paras: intrinsics.
     Returns:
-      (B, dsize, dsize) normalized depth in [-1, 1] and (B, 3, 3) M.
+      (B, dsize, dsize) normalized depth in [-1, 1] (device array,
+      still in flight — callers can feed it straight into a jitted
+      forward without a host sync) and (B, 3, 3) M as a HOST array
+      (it is fp64 host math to begin with, crop_params_np; returning
+      it on device would force async callers to round-trip it back).
     """
     p_np = crop_params_np(np.asarray(centers_uvd), np.asarray(cubes),
                           np.asarray(paras), dsize)
@@ -150,7 +154,7 @@ def crop_normalize_batch(imgs, centers_uvd, cubes, paras, dsize: int):
         jnp.asarray(imgs), p,
         jnp.asarray(np.asarray(centers_uvd)[:, 2], jnp.float32),
         jnp.asarray(np.asarray(cubes)[:, 2], jnp.float32), dsize)
-    return out, jnp.asarray(M)
+    return out, M
 
 
 # --------------------------------------------------------------------------

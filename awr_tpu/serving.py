@@ -346,19 +346,66 @@ class Predictor:
           (B, J, 3) joints as (u px, v px, d mm) in the original camera
           frame — the reference dump format (test.py:105-108).
         """
+        return self.predict_async(imgs, centers_xyz, cubes)()
+
+    def predict_async(self, imgs, centers_xyz, cubes=None):
+        """Dispatch the full raw-frame pipeline WITHOUT blocking on the
+        device; returns a ``finalize() -> (B, J, 3)`` closure.
+
+        The whole device chain — crop/normalize kernel then
+        forward+decode — is enqueued back-to-back with NO host
+        materialization in between (the raw batch is padded to the
+        power-of-two bucket BEFORE the crop, so the crop kernel
+        compiles once per bucket instead of once per distinct client
+        batch size, and its output feeds the forward pass on device).
+        Everything that needs a device sync is deferred into
+        ``finalize``, so a caller (e.g. the batching dispatcher) can
+        have the next group's dispatch in flight while this one's
+        results are still crossing back over the wire.
+        """
         from awr_tpu.data.device import crop_normalize_batch
 
         imgs = np.asarray(imgs, np.float32)
         centers_xyz = np.asarray(centers_xyz, np.float64)
         B = len(imgs)
+        if B == 0:
+            raise ValueError(
+                "empty batch: predict needs at least one frame (a "
+                "zero-row dispatch would compile a batch-0 executable)")
         if cubes is None:
             cubes = np.tile(np.asarray(self.cfg.cube, np.float64), (B, 1))
         centers_uvd = xyz2uvd_np(centers_xyz, self.paras, self.flip)
-        img_n, M = crop_normalize_batch(
-            imgs, centers_uvd, cubes, np.asarray(self.paras),
+        bucket = self._bucket(B)
+        if bucket != B:
+            pad = bucket - B
+
+            def padded(a):
+                return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+
+            imgs_p, centers_p, cubes_p = (padded(imgs),
+                                          padded(centers_uvd),
+                                          padded(np.asarray(cubes)))
+        else:
+            imgs_p, centers_p, cubes_p = imgs, centers_uvd, cubes
+        img_n, M_p = crop_normalize_batch(
+            imgs_p, centers_p, cubes_p, np.asarray(self.paras),
             self.cfg.img_size)
-        pred = self.predict_normalized(img_n)
-        return self.denormalize(pred, centers_xyz, np.asarray(M), cubes)
+        if self._spatial:
+            from awr_tpu.parallel.mesh import spatial_sharding
+
+            img_n = jax.device_put(img_n, spatial_sharding(self.mesh))
+        elif self.mesh is not None:
+            from awr_tpu.parallel.mesh import data_sharding
+
+            img_n = jax.device_put(img_n, data_sharding(self.mesh))
+        out_dev = self._infer(self.params, self.batch_stats, img_n)
+        M = np.asarray(M_p)[:B]
+
+        def finalize() -> np.ndarray:
+            pred = np.asarray(out_dev)[:B]
+            return self.denormalize(pred, centers_xyz, M, cubes)
+
+        return finalize
 
     def denormalize(self, pred, centers_xyz, M, cubes) -> np.ndarray:
         """Normalized (B, J, 3) uvd -> camera coords (evaluation.py:38-43

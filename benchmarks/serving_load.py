@@ -310,6 +310,11 @@ def main():
                                max_wait_ms=wait_ms) as bp:
             futures = []
             sched = []
+            done = [0.0] * n  # completion stamps, written by the
+            # dispatcher thread the moment each future resolves — NOT
+            # after the paced submission loop finishes (stamping at
+            # gather time inflated every pre-saturation latency by the
+            # remaining submission window; caught in the r3 run)
             t0 = time.perf_counter() + 0.05  # headroom for first tick
             behind = 0.0
             for i in range(n):
@@ -320,13 +325,24 @@ def main():
                 else:
                     behind = max(behind, now - t_sched)
                 sched.append(t_sched)
-                futures.append(bp.submit(frame(), center))
-            lat = []
-            for t_sched, fut in zip(sched, futures):
+                fut = bp.submit(frame(), center)
+                fut.add_done_callback(
+                    lambda f, i=i: done.__setitem__(
+                        i, time.perf_counter()))
+                futures.append(fut)
+            for fut in futures:
                 out = fut.result(timeout=600)
                 assert np.isfinite(np.asarray(out)).all()
-                lat.append(time.perf_counter() - t_sched)
-            t_end = time.perf_counter()
+            # result() waiters wake BEFORE done-callbacks run (CPython
+            # set_result notifies, then invokes callbacks), so the last
+            # stamps may still be in flight here — wait them out
+            deadline = time.perf_counter() + 10.0
+            while any(d == 0.0 for d in done):
+                if time.perf_counter() > deadline:
+                    raise RuntimeError("completion stamps missing")
+                time.sleep(0.001)
+            lat = [d - s for d, s in zip(done, sched)]
+            t_end = max(done)
             n_disp = bp.n_dispatches
         lat_ms = np.asarray(lat) * 1e3
         achieved = n / (t_end - t0)

@@ -215,3 +215,32 @@ def test_submit_batch_validates_shapes(predictor, frames):
             bp.submit_batch(imgs[:3], centers[:2])  # B mismatch
         with pytest.raises(ValueError):
             bp.submit_batch(imgs[:3], centers[:3], cubes=[[300.0] * 3])
+
+
+def test_predict_async_overlapped_dispatches_match(predictor, frames):
+    """Two groups dispatched before either finalizes (the pipelined
+    serving pattern) produce exactly the rows blocking predict does,
+    regardless of finalize order."""
+    imgs, centers = frames
+    direct = predictor.predict(imgs, centers)
+    fin_a = predictor.predict_async(imgs[:5], centers[:5])
+    fin_b = predictor.predict_async(imgs[5:], centers[5:])
+    out_b = fin_b()  # finalize out of dispatch order on purpose
+    out_a = fin_a()
+    np.testing.assert_allclose(out_a, direct[:5], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(out_b, direct[5:], rtol=1e-4, atol=1e-3)
+
+
+def test_pipeline_depth_one_matches_direct(predictor, frames):
+    """pipeline_depth=1 (no overlap: each group finalizes before the
+    next dispatch can enqueue past the bounded queue) is the
+    conservative mode and must be numerically identical."""
+    imgs, centers = frames
+    direct = predictor.predict(imgs, centers)
+    with BatchingPredictor(predictor, max_batch=16, max_wait_ms=200.0,
+                           pipeline_depth=1) as bp:
+        futs = [bp.submit(imgs[i], centers[i]) for i in range(len(imgs))]
+        outs = np.stack([f.result(timeout=60) for f in futs])
+    np.testing.assert_allclose(outs, direct, rtol=1e-4, atol=1e-3)
+    with pytest.raises(ValueError):
+        BatchingPredictor(predictor, pipeline_depth=0)
