@@ -14,8 +14,13 @@ TPU-first design notes:
 - ``resize_nearest`` reproduces torch ``F.interpolate(mode='nearest')``
   index semantics (src = floor(dst * H / F)) with a static gather, so the
   decode matches the reference bit-for-bit in fp32.
-- These jnp versions are the semantic definition; ``awr_tpu.ops.pallas``
-  provides a fused single-VMEM-pass decode used on TPU for speed.
+- These jnp versions are the semantic definition AND the measured-fastest
+  hot path: the fused Pallas decode (``awr_tpu.ops.pallas_decode``) was
+  retired from the default path in round 3 after XLA won all 16 sweep
+  rows (BENCH_NOTES_r03.md §1; the op is HBM-bound and XLA fuses it with
+  its producer convs, which an opaque ``pallas_call`` cannot).  The
+  kernels remain fully tested as an alternative spelling
+  (``Config.use_pallas=True``).
 """
 
 from __future__ import annotations

@@ -60,6 +60,10 @@ def main():
                          "training/qat.gap_scaled_recipe (the "
                          "documented default recipe) instead of "
                          "--qat-steps/--qat-lr")
+    ap.add_argument("--step-timeout", type=float, default=0.0,
+                    help="arm the stall watchdog (Config.step_timeout_s)"
+                         " so a wedged tunnel dispatch exits 86 for "
+                         "training.supervise to restart")
     args = ap.parse_args()
 
     from awr_tpu.config import Config
@@ -72,7 +76,8 @@ def main():
                  max_epoch=args.epochs, step=100, lr=args.lr,
                  coord_weight=args.coord_weight,
                  exp_id=f"convergence_{args.net}",
-                 ckpt_max_to_keep=2)
+                 ckpt_max_to_keep=2,
+                 step_timeout_s=args.step_timeout or None)
     train = SyntheticHandDataset(args.train_size, cfg.jt_num, 128,
                                  phase="train", seed=0, layout="grid")
     test = SyntheticHandDataset(args.test_size, cfg.jt_num, 128,
@@ -80,7 +85,22 @@ def main():
     tr = Trainer(cfg, train, test, workdir=args.workdir)
 
     t0 = time.time()
-    init_mpe, _ = tr.test(epoch=0)  # untrained baseline
+    # Untrained baseline — resume-safe: under training.supervise a
+    # restarted process restores the newest workdir checkpoint at
+    # Trainer construction, so re-measuring here would score TRAINED
+    # weights as the "init".  Persist the first measurement instead.
+    init_path = os.path.join(tr.work_dir, "init_mpe.json")
+    resumed_from = int(tr.best_records["epoch"])
+    if os.path.exists(init_path):
+        with open(init_path) as fh:
+            init_mpe = json.load(fh)["init_test_mpe_mm"]
+    else:
+        assert resumed_from == 0, (
+            "workdir has a checkpoint but no recorded init MPE — "
+            "point --workdir at a fresh directory")
+        init_mpe, _ = tr.test(epoch=0)
+        with open(init_path, "w") as fh:
+            json.dump({"init_test_mpe_mm": float(init_mpe)}, fh)
     tr.train()
     final_mpe = tr.best_records["MPE"]
     wall = time.time() - t0
@@ -152,6 +172,7 @@ def main():
                   final_test_mpe_mm=round(float(final_mpe), 3),
                   improvement_x=round(float(improvement), 1),
                   best_epoch=tr.best_records["best_epoch"],
+                  resumed_from_epoch=resumed_from,
                   wall_s=round(wall, 1), **int8_metrics)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:
