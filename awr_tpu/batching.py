@@ -32,20 +32,121 @@ Design notes (TPU-shaped):
 - Predictor's bucketing pads each group to a power-of-two, so the
   number of distinct compiled executables stays logarithmic in
   ``max_batch`` no matter what group sizes the traffic produces.
+
+Overload behavior (defined, measured — round 4):
+
+Unbounded drain has a convoy failure mode, measured in
+``benchmarks/serving_open_r03.jsonl``: when offered load exceeds
+capacity, the dispatcher sweeps the whole backlog into one giant group
+(85-frame convoys), that group's service time (upload-bandwidth-bound
+on the serving transport) blows every queued request's latency, more
+requests pile up while it runs, and the next sweep is bigger still —
+throughput becomes NON-monotone in offered load (offered 75 qps ->
+16.1 achieved, p50 14 s).  Three defenses, all off by default and
+independent:
+
+- ``deadline_ms``: per-request latency budget (submit -> resolve).
+  The dispatcher keeps an EWMA service-time model per power-of-two
+  bucket (measured by the completer) and (a) caps each group so
+  predicted service + predicted in-flight pipeline work fits the
+  OLDEST member's remaining budget — groups stay small enough to meet
+  the SLO instead of convoying, and under overload the cap lands on a
+  bucket boundary so no upload is wasted on padding rows; (b) SHEDS
+  requests that can no longer make their deadline even dispatched
+  alone (their future fails with :class:`DeadlineExceeded`) — the
+  queue cannot grow a latency debt that every later request inherits.
+- ``max_queue``: admission control — bound on QUEUED frames (excludes
+  the <= ``max_batch`` frames the dispatcher holds and the <=
+  ``(pipeline_depth + 2) * max_batch`` in the dispatch pipeline);
+  ``submit``/``submit_batch`` raise :class:`QueueFull` synchronously
+  when full, which the HTTP layer maps to 503 so clients back off
+  instead of queueing unbounded.
+- Counters ``n_shed`` / ``n_rejected`` make both visible (healthz).
+
+With ``deadline_ms`` set, served throughput is monotone in offered
+load (it plateaus at capacity; the excess is shed with a crisp error)
+and served-request p99 stays bounded near the deadline — measured in
+``benchmarks/serving_open_r04.jsonl`` vs the r03 collapse.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 
+class QueueFull(RuntimeError):
+    """Raised by submit/submit_batch when ``max_queue`` frames are
+    already queued — admission control under overload (HTTP 503)."""
+
+
+class DeadlineExceeded(RuntimeError):
+    """Set on a request's future when it can no longer meet
+    ``deadline_ms`` even if dispatched alone — load shedding."""
+
+
+class _ServiceModel:
+    """EWMA of measured dispatch service time per power-of-two bucket.
+
+    The completer feeds it ``observe(frames, seconds)`` per finalized
+    group, where seconds is the group's time on the bottleneck
+    resource: ``finalize_end - max(dispatch_time, previous
+    finalize_end)`` (on a busy pipeline consecutive finalize
+    completions are exactly one group's service apart; on an idle one
+    the dispatch-to-finalize span is the service).  Keyed by the
+    PADDED bucket size because that is what actually executes and
+    crosses the transport (Predictor pads groups up to the bucket).
+    """
+
+    ALPHA = 0.4  # fast-moving: the transport dominates and drifts
+
+    def __init__(self, bucket_fn):
+        self._bucket = bucket_fn
+        self._s: Dict[int, float] = {}
+        self._lock = threading.Lock()
+
+    def observe(self, frames: int, seconds: float) -> None:
+        b = self._bucket(int(frames))
+        with self._lock:
+            prev = self._s.get(b)
+            self._s[b] = (seconds if prev is None
+                          else self.ALPHA * seconds
+                          + (1 - self.ALPHA) * prev)
+
+    def estimate(self, frames: int) -> Optional[float]:
+        """Predicted service seconds for a group of ``frames`` frames
+        (i.e. its padded bucket), or None before any observation.
+
+        Unmeasured buckets extrapolate from the nearest measured one,
+        linearly in frames (matches the upload-bandwidth-bound serving
+        regime; conservative for the compute-bound one).  Scaling DOWN
+        is floored at half the measured value — dispatch overhead does
+        not shrink with the batch."""
+        b = self._bucket(int(frames))
+        with self._lock:
+            if not self._s:
+                return None
+            if b in self._s:
+                return self._s[b]
+            k = min(self._s, key=lambda kk: abs(np.log(kk / b)))
+            s = self._s[k]
+        if b >= k:
+            return s * (b / k)
+        return max(s * (b / k), 0.5 * s)
+
+    def snapshot(self) -> Dict[int, float]:
+        with self._lock:
+            return dict(self._s)
+
+
 class _Request:
-    __slots__ = ("imgs", "centers", "cubes", "future", "batched")
+    __slots__ = ("imgs", "centers", "cubes", "future", "batched",
+                 "t_arrival")
 
     def __init__(self, imgs, centers, cubes, future, batched=False):
         self.imgs = imgs
@@ -54,6 +155,11 @@ class _Request:
         self.future = future
         # batched requests resolve to (B, J, 3); single-frame to (J, 3)
         self.batched = batched
+        self.t_arrival = time.perf_counter()
+
+    @property
+    def frames(self) -> int:
+        return self.imgs.shape[0]
 
 
 class BatchingPredictor:
@@ -72,33 +178,64 @@ class BatchingPredictor:
     ``concurrent.futures.Future``.  ``predict`` is the blocking
     convenience wrapper.  All requests in a drained group are served by
     one ``Predictor.predict`` call (one device dispatch per bucket).
+
+    Overload knobs (module docstring for the measured failure mode they
+    defend against): ``deadline_ms`` enables latency-bounded group
+    sizing + shedding (:class:`DeadlineExceeded`); ``max_queue`` bounds
+    queued frames (:class:`QueueFull` at submit).  Both default off.
     """
 
     def __init__(self, predictor, max_batch: int = 64,
-                 max_wait_ms: float = 2.0, pipeline_depth: int = 2):
+                 max_wait_ms: float = 2.0, pipeline_depth: int = 2,
+                 deadline_ms: Optional[float] = None,
+                 max_queue: Optional[int] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if pipeline_depth < 1:
             raise ValueError("pipeline_depth must be >= 1")
+        if deadline_ms is not None and deadline_ms <= 0:
+            raise ValueError("deadline_ms must be positive")
+        if max_queue is not None and max_queue < 1:
+            raise ValueError("max_queue must be >= 1")
         self._p = predictor
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        self.deadline_s = (None if deadline_ms is None
+                           else float(deadline_ms) / 1000.0)
+        self.max_queue = None if max_queue is None else int(max_queue)
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
         # serializes the closed-check-then-enqueue in submit() against
         # the flag-set-then-sentinel in close(): without it a submit
-        # could land its request BEHIND the sentinel and hang forever
+        # could land its request BEHIND the sentinel and hang forever.
+        # Also guards the queued-frames admission counter.
         self._submit_lock = threading.Lock()
-        # observability: groups dispatched and frames served so far
+        self._queued_frames = 0
+        # a request popped during drain that did not fit the group's
+        # latency-bounded frame cap; it leads the NEXT group
+        self._held: Optional[_Request] = None
+        # observability: groups dispatched, frames served, requests
+        # shed past their deadline, requests rejected at admission
         self.n_dispatches = 0
         self.n_frames = 0
+        self.n_shed = 0
+        self.n_rejected = 0
+        # latency-bounded dispatch state: measured per-bucket service
+        # times and the predicted seconds of dispatched-but-unfinalized
+        # work (what a new group must wait behind)
+        self.service_model = _ServiceModel(self._p._bucket)
+        self._inflight_lock = threading.Lock()
+        self._inflight_pred_s = 0.0
         # dispatch/finalize pipeline: the dispatcher enqueues device
         # work via Predictor.predict_async and hands (finalize, group)
         # here; the completer thread blocks on results and resolves
-        # futures.  The bounded queue is the backpressure: at most
-        # ``pipeline_depth`` groups are dispatched-but-unfinalized, so
-        # the next group's upload overlaps the previous group's device
-        # execution + result download instead of waiting for it.
+        # futures.  The bounded queue is the backpressure: the next
+        # group's upload overlaps the previous group's device execution
+        # + result download instead of waiting for it.  The in-flight
+        # bound is ``pipeline_depth + 2`` groups, not pipeline_depth:
+        # one group can sit popped-but-unfinalized in the completer and
+        # another dispatched-but-blocked in the dispatcher's put, on
+        # top of the queue's own capacity.
         self._cq: "queue.Queue[Optional[tuple]]" = queue.Queue(
             maxsize=int(pipeline_depth))
         self._worker = threading.Thread(target=self._run, daemon=True,
@@ -123,10 +260,7 @@ class BatchingPredictor:
                        None if cube is None
                        else np.asarray(cube, np.float64)[None],
                        fut)
-        with self._submit_lock:
-            if self._closed:
-                raise RuntimeError("BatchingPredictor is closed")
-            self._q.put(req)
+        self._admit(req)
         return fut
 
     def submit_batch(self, imgs, centers_xyz, cubes=None) -> Future:
@@ -153,11 +287,32 @@ class BatchingPredictor:
                 raise ValueError("'cubes' must be (B, 3)")
         fut: Future = Future()
         req = _Request(imgs, centers, cubes, fut, batched=True)
+        self._admit(req)
+        return fut
+
+    def _admit(self, req: _Request) -> None:
+        """Enqueue or reject: with ``max_queue`` set, a request that
+        would push QUEUED frames past the bound raises
+        :class:`QueueFull` synchronously (the HTTP layer maps it to
+        503).  A single request larger than max_queue is always
+        rejected — size max_queue above the largest legitimate
+        submit_batch."""
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("BatchingPredictor is closed")
+            if (self.max_queue is not None
+                    and self._queued_frames + req.frames > self.max_queue):
+                self.n_rejected += 1
+                raise QueueFull(
+                    f"{self._queued_frames} frames queued, request of "
+                    f"{req.frames} exceeds max_queue={self.max_queue}")
+            self._queued_frames += req.frames
             self._q.put(req)
-        return fut
+
+    def _unqueue(self, req: _Request) -> None:
+        """Account a request popped off the admission queue."""
+        with self._submit_lock:
+            self._queued_frames -= req.frames
 
     def predict(self, img, center_xyz, cube=None, timeout=None):
         """Blocking single-frame convenience wrapper around
@@ -191,21 +346,86 @@ class BatchingPredictor:
         self.close()
 
     # -------------------------------------------------------- dispatcher
+    def _inflight_pred(self) -> float:
+        with self._inflight_lock:
+            return self._inflight_pred_s
+
+    def _budget_s(self, req: _Request) -> float:
+        """Remaining latency budget if dispatched NOW: deadline minus
+        age minus the predicted service of work already in the dispatch
+        pipeline ahead of it (the chip serves groups in order)."""
+        age = time.perf_counter() - req.t_arrival
+        return self.deadline_s - age - self._inflight_pred()
+
+    def _shed(self, req: _Request) -> None:
+        self.n_shed += 1
+        if not req.future.done():
+            req.future.set_exception(DeadlineExceeded(
+                f"request aged past deadline_ms="
+                f"{self.deadline_s * 1e3:.0f} before it could be "
+                f"served (overload)"))
+
+    def _next_request(self):
+        """Head of the next group: a held-back request if one exists,
+        else block on the queue.  With a deadline, sheds heads that can
+        no longer be served in time even alone."""
+        while True:
+            if self._held is not None:
+                req, self._held = self._held, None
+            else:
+                req = self._q.get()
+                if req is None:
+                    return None
+                self._unqueue(req)
+            if self.deadline_s is None:
+                return req
+            est = self.service_model.estimate(req.frames)
+            if est is None or self._budget_s(req) >= est:
+                return req
+            self._shed(req)
+
+    def _cap_frames(self, head: _Request) -> int:
+        """Latency-bounded group size: the largest frame count whose
+        PADDED bucket's predicted service fits the head's (= oldest
+        member's) remaining budget.  Walking bucket sizes lands the cap
+        on an executable boundary, so under overload groups are exactly
+        a warm bucket — no upload is spent on padding rows.  Before any
+        measurement (or without a deadline) falls back to max_batch."""
+        if self.deadline_s is None:
+            return self.max_batch
+        budget = self._budget_s(head)
+        cap = 0
+        b = self._p._bucket(1)  # smallest bucket the Predictor pads to
+        while b <= self._p._bucket(self.max_batch):
+            est = self.service_model.estimate(b)
+            if est is None:
+                return self.max_batch  # cold: no model yet
+            if est > budget:
+                break
+            cap = b
+            b *= 2
+        # the head itself always dispatches (it passed the shed check;
+        # a zero cap here just means the model moved under it)
+        return min(max(cap, head.frames), self.max_batch)
+
     def _drain(self) -> Tuple[List[_Request], bool]:
         """Collect the next group: block for the first request, then
         wait at most ``max_wait_s`` for more, then sweep whatever is
-        queued up to ``max_batch``.  Returns (group, sentinel_seen)."""
-        first = self._q.get()
+        queued — up to ``max_batch`` frames, and with ``deadline_ms``
+        set, up to the latency-bounded cap (:meth:`_cap_frames`).
+        Returns (group, sentinel_seen)."""
+        first = self._next_request()
         if first is None:
             return [], True
         group = [first]
-        frames = first.imgs.shape[0]
+        frames = first.frames
+        cap = self._cap_frames(first)
         deadline_wait = self.max_wait_s
         stop = False
-        # max_batch bounds total FRAMES per group (a single submit_batch
-        # larger than max_batch still dispatches alone; Predictor's
+        # the cap bounds total FRAMES per group (a single request
+        # larger than the cap still dispatches alone; Predictor's
         # bucketing handles any size)
-        while frames < self.max_batch:
+        while frames < cap:
             try:
                 nxt = self._q.get(timeout=deadline_wait)
             except queue.Empty:
@@ -213,8 +433,19 @@ class BatchingPredictor:
             if nxt is None:
                 stop = True
                 break
+            self._unqueue(nxt)
+            if self.deadline_s is not None:
+                est = self.service_model.estimate(nxt.frames)
+                if est is not None and self._budget_s(nxt) < est:
+                    self._shed(nxt)  # stale: cannot make it even alone
+                    continue
+            if frames + nxt.frames > cap:
+                # does not fit this group's latency budget: it leads
+                # the next group instead (keeps FIFO order)
+                self._held = nxt
+                break
             group.append(nxt)
-            frames += nxt.imgs.shape[0]
+            frames += nxt.frames
             # after the grace window only sweep what is already queued
             deadline_wait = 0.0
         return group, stop
@@ -259,7 +490,13 @@ class BatchingPredictor:
             finalize = self._p.predict_async(imgs, centers, cubes)
             self.n_dispatches += 1
             self.n_frames += len(imgs)
-            self._cq.put((finalize, list(group)))  # blocks at depth
+            pred_s = self.service_model.estimate(len(imgs))
+            if pred_s is not None:
+                with self._inflight_lock:
+                    self._inflight_pred_s += pred_s
+            t_dispatch = time.perf_counter()
+            # blocks at pipeline depth:
+            self._cq.put((finalize, list(group), pred_s, t_dispatch))
         except BaseException as e:  # noqa: BLE001 - must fail futures
             if len(group) > 1:
                 # one malformed request must not fail its co-batched
@@ -274,27 +511,43 @@ class BatchingPredictor:
 
     # --------------------------------------------------------- completer
     def _complete(self):
-        """Resolve dispatched groups in dispatch order.
+        """Resolve dispatched groups in dispatch order, and feed the
+        service-time model.
 
         A failure that first surfaces at finalize time (i.e. AFTER the
         device accepted the dispatch) is an infrastructure fault —
         device OOM, a wedged transport — not a malformed request, so it
         fails every future in the group rather than re-running the
         group solo through a device that is already unhealthy."""
+        prev_end = 0.0
         while True:
             item = self._cq.get()
             if item is None:
                 return
-            finalize, group = item
+            finalize, group, pred_s, t_dispatch = item
+            frames = sum(r.frames for r in group)
             try:
                 out = finalize()
+                end = time.perf_counter()
+                # busy pipeline: consecutive finalize completions are
+                # one group's service apart; idle: dispatch->finalize
+                self.service_model.observe(
+                    frames, end - max(t_dispatch, prev_end))
+                prev_end = end
                 off = 0
                 for r in group:
-                    n = r.imgs.shape[0]
-                    r.future.set_result(out[off:off + n] if r.batched
-                                        else out[off])
+                    n = r.frames
+                    # a client may have cancelled its future; that must
+                    # not poison the co-batched neighbours' results
+                    if not r.future.done():
+                        r.future.set_result(out[off:off + n] if r.batched
+                                            else out[off])
                     off += n
             except BaseException as e:  # noqa: BLE001 - must fail futures
                 for r in group:
                     if not r.future.done():
                         r.future.set_exception(e)
+            finally:
+                if pred_s is not None:
+                    with self._inflight_lock:
+                        self._inflight_pred_s -= pred_s

@@ -39,6 +39,14 @@ rejects request bodies over ``--max-request-mb`` (default 64) with 413
 before reading them, and bounds accepted image shapes
 (H, W <= 4096; B <= 1024) before materializing arrays.
 
+Overload behavior: with ``--deadline-ms`` / ``--max-queue`` set, a
+request that is rejected at admission (queue full) or shed past its
+deadline gets **503** with ``Retry-After: 1`` and a JSON
+``{"error": ..., "retryable": true}`` body, instead of queueing into
+the convoy collapse measured in benchmarks/serving_open_r03.jsonl
+(batching.py module docstring).  ``/healthz`` reports ``shed`` and
+``rejected`` counters.
+
 Run::
 
     python -m awr_tpu.server --ckpt out/ckpt --net resnet_18 \
@@ -56,7 +64,8 @@ from typing import Optional
 
 import numpy as np
 
-from awr_tpu.batching import BatchingPredictor
+from awr_tpu.batching import (BatchingPredictor, DeadlineExceeded,
+                              QueueFull)
 from awr_tpu.serving import Predictor
 
 
@@ -91,11 +100,17 @@ class AWRServer:
     def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
                  port: int = 8000, max_batch: int = 64,
                  max_wait_ms: float = 2.0,
-                 max_request_bytes: int = 64 * 1024 * 1024):
+                 max_request_bytes: int = 64 * 1024 * 1024,
+                 deadline_ms: Optional[float] = None,
+                 max_queue: Optional[int] = None,
+                 pipeline_depth: int = 2):
         self.predictor = predictor
         self.max_request_bytes = int(max_request_bytes)
         self.batcher = BatchingPredictor(predictor, max_batch=max_batch,
-                                         max_wait_ms=max_wait_ms)
+                                         max_wait_ms=max_wait_ms,
+                                         deadline_ms=deadline_ms,
+                                         max_queue=max_queue,
+                                         pipeline_depth=pipeline_depth)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -122,6 +137,8 @@ class AWRServer:
                     "int8": hasattr(server.predictor, "quant"),
                     "batch_dispatches": server.batcher.n_dispatches,
                     "frames": server.batcher.n_frames,
+                    "shed": server.batcher.n_shed,
+                    "rejected": server.batcher.n_rejected,
                 })
 
             def do_POST(self):  # noqa: N802
@@ -144,6 +161,18 @@ class AWRServer:
                                     {"error": f"no route {self.path}"})
                         return
                     self._reply(200, out)
+                except (QueueFull, DeadlineExceeded) as e:
+                    # overload, not a server fault: tell the client to
+                    # back off and retry (batching.py module docstring;
+                    # both paths are bounded-latency by construction)
+                    self.send_response(503)
+                    body = json.dumps({"error": str(e),
+                                       "retryable": True}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header("Retry-After", "1")
+                    self.end_headers()
+                    self.wfile.write(body)
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
                     self._reply(400, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001 - report, don't die
@@ -248,6 +277,16 @@ def main(argv=None):
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
     ap.add_argument("--max-request-mb", type=int, default=64,
                     help="reject request bodies larger than this")
+    ap.add_argument("--deadline-ms", type=float, default=None,
+                    help="per-request latency budget: enables latency-"
+                         "bounded dispatch + load shedding (503) under "
+                         "overload")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="bound on queued frames; admission rejects "
+                         "(503) when full")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="dispatched-but-unfinalized group bound "
+                         "(batching.BatchingPredictor)")
     ap.add_argument("--int8-calib", default="",
                     help=".npy of (N, S, S) normalized calibration "
                          "frames: serve int8 (Predictor.quantize)")
@@ -271,7 +310,10 @@ def main(argv=None):
     srv = AWRServer(pred, host=args.host, port=args.port,
                     max_batch=args.max_batch,
                     max_wait_ms=args.max_wait_ms,
-                    max_request_bytes=args.max_request_mb * 1024 * 1024)
+                    max_request_bytes=args.max_request_mb * 1024 * 1024,
+                    deadline_ms=args.deadline_ms,
+                    max_queue=args.max_queue,
+                    pipeline_depth=args.pipeline_depth)
     print(f"serving {cfg.net} on {args.host}:{srv.port} "
           f"(int8={hasattr(pred, 'quant')})")
     try:

@@ -99,11 +99,25 @@ def main():
     ap.add_argument("--open-loop-knobs", nargs="*",
                     default=["2.0:256"],
                     help="batcher settings per open-loop scenario, "
-                         "each 'max_wait_ms:max_batch'")
+                         "each 'max_wait_ms:max_batch' or "
+                         "'max_wait_ms:max_batch:deadline_ms"
+                         "[:max_queue]' (deadline enables latency-"
+                         "bounded dispatch + shedding; 0 = off)")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="BatchingPredictor pipeline_depth for every "
+                         "scenario (recorded per row)")
     ap.add_argument("--out", default="benchmarks/serving_load_r02.jsonl")
     args = ap.parse_args()
-    knobs = [(float(w), int(b)) for w, b in
-             (k.split(":") for k in args.open_loop_knobs)]
+
+    def parse_knob(k):
+        parts = k.split(":")
+        wait, batch = float(parts[0]), int(parts[1])
+        deadline = (float(parts[2]) if len(parts) > 2
+                    and float(parts[2]) > 0 else None)
+        mq = int(parts[3]) if len(parts) > 3 else None
+        return wait, batch, deadline, mq
+
+    knobs = [parse_knob(k) for k in args.open_loop_knobs]
     if args.open_loop_qps and args.http:
         ap.error("--open-loop-qps is in-process only (it paces "
                  "BatchingPredictor.submit directly)")
@@ -147,7 +161,7 @@ def main():
     if args.open_loop_qps:
         n_total += (len(args.open_loop_qps) * len(knobs)
                     * args.open_loop_requests)
-        n_total += 4 * max(b for _, b in knobs)  # extra warm ladder
+        n_total += 4 * max(b for _, b, *_ in knobs)  # extra warm ladder
     pool = rng.uniform(420.0, 580.0,
                        (n_total, RAW, RAW)).astype(np.float32)
     pool[:, 0, 0] = 500.0 + salt + np.arange(n_total) * 1e-3
@@ -179,7 +193,8 @@ def main():
 
         srv = AWRServer(pred, host="127.0.0.1", port=0,
                         max_batch=args.max_batch,
-                        max_wait_ms=args.max_wait_ms).start()
+                        max_wait_ms=args.max_wait_ms,
+                        pipeline_depth=args.pipeline_depth).start()
 
         def http_predict_one(img, ctr):
             payload = json.dumps({
@@ -203,7 +218,7 @@ def main():
     top = min(args.max_batch, 2 * max(args.concurrency))
     if args.open_loop_qps:
         # open-loop dispatch groups can reach any knob's max_batch
-        top = max(top, *(b for _, b in knobs))
+        top = max(top, *(b for _, b, *_ in knobs))
     while b <= top:
         pred.predict(np.stack([frame(i) for i in range(b)]),
                      np.tile(center, (b, 1)))
@@ -275,7 +290,8 @@ def main():
                             lambda: srv.batcher.n_dispatches,
                             lambda: srv.batcher.n_frames)
         with BatchingPredictor(pred, max_batch=args.max_batch,
-                               max_wait_ms=args.max_wait_ms) as bp:
+                               max_wait_ms=args.max_wait_ms,
+                               pipeline_depth=args.pipeline_depth) as bp:
             return scenario(
                 lambda: bp.submit(frame(), center).result(timeout=600),
                 lambda: bp.n_dispatches, lambda: bp.n_frames)
@@ -290,6 +306,7 @@ def main():
         served = conc * 2 * per_client
         rows.append(dict(
             mode=f"{prefix}batched_c{conc}", requests=served,
+            pipeline_depth=args.pipeline_depth,
             wall_s=round(w2, 3),
             served_fps=round(served / w2, 1),
             mean_latency_ms=round(
@@ -302,21 +319,37 @@ def main():
         print(json.dumps(rows[-1]))
 
     # ---- open-loop (fixed offered QPS) scenarios: latency vs load
-    def run_open_loop(qps, wait_ms, max_batch, n):
+    def run_open_loop(qps, wait_ms, max_batch, n, deadline_ms=None,
+                      max_queue=None):
         """Submit ``n`` frames at a fixed rate; latency is measured
         from each request's SCHEDULED arrival (t0 + i/qps), so queue
-        backlog counts against latency (no coordinated omission)."""
+        backlog counts against latency (no coordinated omission).
+
+        With ``deadline_ms``/``max_queue`` set (the overload defenses,
+        batching.py module docstring), requests may be SHED
+        (DeadlineExceeded on the future) or REJECTED at admission
+        (QueueFull from submit); both are counted, latency percentiles
+        cover SERVED requests only, and qps_served is the capacity
+        number (the r03 rows without defenses showed served throughput
+        collapsing non-monotonically under overload — convoys)."""
+        from awr_tpu.batching import DeadlineExceeded, QueueFull
+
         with BatchingPredictor(pred, max_batch=max_batch,
-                               max_wait_ms=wait_ms) as bp:
-            futures = []
+                               max_wait_ms=wait_ms,
+                               pipeline_depth=args.pipeline_depth,
+                               deadline_ms=deadline_ms,
+                               max_queue=max_queue) as bp:
+            futures = [None] * n
             sched = []
-            done = [0.0] * n  # completion stamps, written by the
-            # dispatcher thread the moment each future resolves — NOT
-            # after the paced submission loop finishes (stamping at
-            # gather time inflated every pre-saturation latency by the
+            done = [0.0] * n  # completion stamps, written by whichever
+            # thread resolves each future (the completer thread runs
+            # the done-callbacks) the moment it resolves — NOT after
+            # the paced submission loop finishes (stamping at gather
+            # time inflated every pre-saturation latency by the
             # remaining submission window; caught in the r3 run)
             t0 = time.perf_counter() + 0.05  # headroom for first tick
             behind = 0.0
+            rejected = 0
             for i in range(n):
                 t_sched = t0 + i / qps
                 now = time.perf_counter()
@@ -325,14 +358,26 @@ def main():
                 else:
                     behind = max(behind, now - t_sched)
                 sched.append(t_sched)
-                fut = bp.submit(frame(), center)
+                try:
+                    fut = bp.submit(frame(), center)
+                except QueueFull:
+                    rejected += 1
+                    done[i] = -1.0  # admission rejection: synchronous
+                    continue
                 fut.add_done_callback(
                     lambda f, i=i: done.__setitem__(
                         i, time.perf_counter()))
-                futures.append(fut)
-            for fut in futures:
-                out = fut.result(timeout=600)
-                assert np.isfinite(np.asarray(out)).all()
+                futures[i] = fut
+            shed = 0
+            for i, fut in enumerate(futures):
+                if fut is None:
+                    continue
+                try:
+                    out = fut.result(timeout=600)
+                    assert np.isfinite(np.asarray(out)).all()
+                except DeadlineExceeded:
+                    shed += 1
+                    continue
             # result() waiters wake BEFORE done-callbacks run (CPython
             # set_result notifies, then invokes callbacks), so the last
             # stamps may still be in flight here — wait them out
@@ -341,30 +386,41 @@ def main():
                 if time.perf_counter() > deadline:
                     raise RuntimeError("completion stamps missing")
                 time.sleep(0.001)
-            lat = [d - s for d, s in zip(done, sched)]
+            served_lat = [d - s for d, s, f in zip(done, sched, futures)
+                          if f is not None and not f.exception()]
+            n_served = len(served_lat)
             t_end = max(done)
             n_disp = bp.n_dispatches
-        lat_ms = np.asarray(lat) * 1e3
-        achieved = n / (t_end - t0)
+            n_dispatched_frames = bp.n_frames
+            assert shed == bp.n_shed and rejected == bp.n_rejected
+        lat_ms = np.asarray(served_lat) * 1e3 if served_lat else \
+            np.asarray([float("nan")])
+        served_qps = n_served / (t_end - t0)
         # saturated = the pacing thread itself fell behind schedule OR
-        # drain ran long past the offered window
+        # the stack could not serve ~all offered requests in time
         saturated = bool(behind > 0.25 / qps * n
-                         or achieved < 0.9 * qps)
+                         or served_qps < 0.9 * qps)
         return dict(
             mode="openloop", qps_offered=qps,
-            qps_achieved=round(achieved, 1), requests=n,
+            qps_achieved=round(served_qps, 1), requests=n,
+            served=n_served, shed=shed, rejected=rejected,
             max_wait_ms=wait_ms, max_batch=max_batch,
+            deadline_ms=deadline_ms, max_queue=max_queue,
+            pipeline_depth=args.pipeline_depth,
             p50_latency_ms=round(float(np.percentile(lat_ms, 50)), 2),
             p99_latency_ms=round(float(np.percentile(lat_ms, 99)), 2),
             mean_latency_ms=round(float(np.mean(lat_ms)), 2),
             dispatches=n_disp,
-            frames_per_dispatch=round(n / max(n_disp, 1), 1),
+            frames_per_dispatch=round(n_dispatched_frames
+                                      / max(n_disp, 1), 1),
             saturated=saturated)
 
-    for wait_ms, max_batch in (knobs if args.open_loop_qps else []):
+    for wait_ms, max_batch, deadline_ms, max_queue in (
+            knobs if args.open_loop_qps else []):
         for qps in args.open_loop_qps:
             rows.append(run_open_loop(qps, wait_ms, max_batch,
-                                      args.open_loop_requests))
+                                      args.open_loop_requests,
+                                      deadline_ms, max_queue))
             print(json.dumps(rows[-1]))
 
     if srv is not None:

@@ -231,10 +231,218 @@ def test_predict_async_overlapped_dispatches_match(predictor, frames):
     np.testing.assert_allclose(out_b, direct[5:], rtol=1e-4, atol=1e-3)
 
 
+# --------------------------------------------------------------------
+# Overload behavior (deadline_ms / max_queue): deterministic tests on a
+# stub predictor with controllable service time — the convoy collapse
+# these defend against was measured on chip
+# (benchmarks/serving_open_r03.jsonl: offered 75 qps -> 16 achieved,
+# p50 14 s, 85-frame convoys) and cannot be reproduced deterministically
+# through the real device path.
+# --------------------------------------------------------------------
+
+import time
+
+from awr_tpu.batching import DeadlineExceeded, QueueFull, _ServiceModel
+
+
+class _StubPredictor:
+    """Fake Predictor: finalize sleeps bucket(n)-scaled service time;
+    row (0, 0) of each returned joint set identifies its input frame,
+    so routing is checkable without a model."""
+
+    def __init__(self, overhead_s=0.0, per_frame_s=0.0, gate=None):
+        self.cfg = Config(net="resnet_18", kernel_size=1.0, img_size=IMG,
+                          use_pallas=False)
+        self.overhead_s = overhead_s
+        self.per_frame_s = per_frame_s
+        self.gate = gate  # threading.Event: finalize waits on it
+        self.group_sizes = []
+
+    def _bucket(self, n):
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
+    def predict_async(self, imgs, centers, cubes=None):
+        n = len(imgs)
+        self.group_sizes.append(n)
+        ids = np.asarray(imgs)[:, 0, 0].copy()
+        service = self.overhead_s + self._bucket(n) * self.per_frame_s
+
+        def finalize():
+            if self.gate is not None:
+                self.gate.wait(timeout=60)
+            if service:
+                time.sleep(service)
+            out = np.zeros((n, 14, 3), np.float32)
+            out[:, 0, 0] = ids
+            return out
+
+        return finalize
+
+
+def _stub_frame(i):
+    img = np.zeros((IMG, IMG), np.float32)
+    img[0, 0] = float(i)
+    return img
+
+
+_CENTER = np.array([0.0, 0.0, 500.0])
+
+
+def test_service_model_estimates():
+    m = _ServiceModel(_StubPredictor()._bucket)
+    assert m.estimate(4) is None  # cold: no observations
+    m.observe(8, 0.1)
+    assert m.estimate(8) == pytest.approx(0.1)
+    assert m.estimate(3) == pytest.approx(0.1)   # same padded bucket
+    # unmeasured larger bucket: linear-in-frames extrapolation
+    assert m.estimate(32) == pytest.approx(0.4)
+    m.observe(64, 0.32)
+    # 16 is nearer (in log space) to measured 8 than to 64: scale up
+    assert m.estimate(16) == pytest.approx(0.2)
+    # EWMA moves toward new observations
+    m.observe(8, 0.3)
+    assert 0.1 < m.estimate(8) < 0.3
+    # scaling DOWN from the nearest measured bucket floors at half its
+    # value (dispatch overhead does not shrink with the batch)
+    m2 = _ServiceModel(_StubPredictor()._bucket)
+    m2.observe(64, 0.32)
+    assert m2.estimate(8) == pytest.approx(0.5 * 0.32)
+
+
+def test_max_queue_rejects_when_full():
+    """Admission control: with the completer gated shut, queued frames
+    past max_queue raise QueueFull synchronously; accepted requests all
+    still serve once the gate opens."""
+    gate = __import__("threading").Event()
+    stub = _StubPredictor(gate=gate)
+    bp = BatchingPredictor(stub, max_batch=1, max_wait_ms=0.0,
+                           pipeline_depth=1, max_queue=2)
+    try:
+        # feed the dispatch pipeline one request at a time, waiting for
+        # each to be CONSUMED off the admission queue (submitting all
+        # three at once can outrun the dispatcher and fill the queue):
+        # request 1 ends popped by the completer (blocked on the gate),
+        # request 2 sits in the depth-1 pipeline queue, request 3
+        # blocks in the dispatcher's put — all past admission
+        futs = []
+        deadline = time.time() + 30
+        for i in range(3):
+            futs.append(bp.submit(_stub_frame(i), _CENTER))
+            while bp.n_dispatches < i + 1 or bp._q.qsize() > 0:
+                assert time.time() < deadline, "dispatcher did not drain"
+                time.sleep(0.005)
+        futs.append(bp.submit(_stub_frame(3), _CENTER))  # queued (1/2)
+        futs.append(bp.submit(_stub_frame(4), _CENTER))  # queued (2/2)
+        with pytest.raises(QueueFull):
+            bp.submit(_stub_frame(5), _CENTER)
+        assert bp.n_rejected == 1
+        gate.set()
+        for i, f in enumerate(futs):
+            out = f.result(timeout=30)
+            assert out[0, 0] == i  # every ACCEPTED request serves
+    finally:
+        gate.set()
+        bp.close()
+
+
+def test_deadline_sheds_instead_of_convoying():
+    """Under 8x overload every request either serves within a bounded
+    latency or fails fast with DeadlineExceeded — the r03 failure mode
+    (every request waiting out the full backlog) cannot happen."""
+    stub = _StubPredictor(overhead_s=0.1)  # ~80 fps capacity at batch 8
+    # 64 frames need >= 8 groups x 100 ms = 800 ms of service, so a
+    # 400 ms deadline must shed the tail while serving the head
+    deadline_ms = 400.0
+    bp = BatchingPredictor(stub, max_batch=8, max_wait_ms=0.0,
+                           pipeline_depth=1, deadline_ms=deadline_ms)
+    try:
+        # warm the service model with one measured dispatch
+        bp.predict(_stub_frame(0), _CENTER, timeout=30)
+        t0 = time.perf_counter()
+        futs = [(bp.submit(_stub_frame(i), _CENTER), time.perf_counter())
+                for i in range(64)]
+        served = shed = 0
+        worst_ms = 0.0
+        for f, t_sub in futs:
+            try:
+                f.result(timeout=30)
+                served += 1
+                worst_ms = max(worst_ms,
+                               1000 * (time.perf_counter() - t_sub))
+            except DeadlineExceeded:
+                shed += 1
+        del t0
+        assert served + shed == 64
+        assert shed > 0, "8x overload must shed"
+        assert served >= 8, "shedding must not starve serveable work"
+        assert bp.n_shed == shed
+        # served latency stays near the deadline (2x slack: the model
+        # is an EWMA estimate, not a guarantee; the r03 convoy was 56x)
+        assert worst_ms < 2 * deadline_ms, worst_ms
+    finally:
+        bp.close()
+
+
+def test_deadline_caps_group_size_to_feasible_bucket():
+    """Latency-bounded dispatch: group size is capped so the padded
+    bucket's predicted service fits the oldest member's budget — under
+    a backlog the dispatcher must NOT sweep everything into one convoy
+    (r03: 85-frame groups)."""
+    stub = _StubPredictor(per_frame_s=0.01)  # bucket 8=80ms, 32=320ms
+    bp = BatchingPredictor(stub, max_batch=64, max_wait_ms=0.0,
+                           pipeline_depth=1, deadline_ms=300.0)
+    try:
+        bp.predict(_stub_frame(0), _CENTER, timeout=30)  # warm model
+        futs = [bp.submit(_stub_frame(i), _CENTER) for i in range(48)]
+        outcomes = []
+        for f in futs:
+            try:
+                f.result(timeout=30)
+                outcomes.append("served")
+            except DeadlineExceeded:
+                outcomes.append("shed")
+        # no dispatched group may exceed the feasible bucket: est(32) =
+        # 320ms > 300ms budget even at age 0, so caps land at <= 16
+        assert max(stub.group_sizes[1:]) <= 16, stub.group_sizes
+        assert outcomes.count("served") >= 8
+    finally:
+        bp.close()
+
+
+def test_cancelled_future_does_not_poison_group():
+    """ADVICE r3: a client-cancelled future in a coalesced group must
+    not fail its co-batched neighbours (set_result on a cancelled
+    future raises InvalidStateError; the completer guards per-row)."""
+    gate = __import__("threading").Event()
+    stub = _StubPredictor(gate=gate)
+    bp = BatchingPredictor(stub, max_batch=8, max_wait_ms=200.0)
+    try:
+        f1 = bp.submit(_stub_frame(1), _CENTER)
+        f2 = bp.submit(_stub_frame(2), _CENTER)
+        deadline = time.time() + 30
+        while bp.n_dispatches < 1:  # both coalesced, dispatch in flight
+            assert time.time() < deadline
+            time.sleep(0.005)
+        assert f1.cancel()  # pending until the gated finalize returns
+        gate.set()
+        out2 = f2.result(timeout=30)
+        assert out2[0, 0] == 2.0  # neighbour unharmed
+        assert f1.cancelled()
+        assert bp.n_frames == 2
+    finally:
+        gate.set()
+        bp.close()
+
+
 def test_pipeline_depth_one_matches_direct(predictor, frames):
-    """pipeline_depth=1 (no overlap: each group finalizes before the
-    next dispatch can enqueue past the bounded queue) is the
-    conservative mode and must be numerically identical."""
+    """pipeline_depth=1 is the conservative mode and must be
+    numerically identical.  (It still allows bounded overlap: the
+    in-flight bound is pipeline_depth + 2 groups — one popped into the
+    completer, one blocked in the dispatcher's put, plus the queue —
+    see the __init__ comment in batching.py.)"""
     imgs, centers = frames
     direct = predictor.predict(imgs, centers)
     with BatchingPredictor(predictor, max_batch=16, max_wait_ms=200.0,

@@ -210,3 +210,59 @@ def test_absurd_shape_rejected_400(server, frames):
          "centers_xyz": [[0.0, 0.0, 500.0]] * b})
     assert status == 400
     assert "limit" in out.get("error", "")
+
+
+def test_overload_returns_503_and_recovers(frames):
+    """Admission control end to end: with max_queue bounded and the
+    device gated shut, the overflow request gets 503 + Retry-After
+    (retryable JSON), accepted requests still serve once the device
+    frees up, and /healthz exposes the rejected counter.
+
+    Uses a gated stub predictor — the real device path cannot be made
+    deterministically 'busy' from a test."""
+    import time as _time
+
+    from tests.test_batching import _StubPredictor
+
+    gate = threading.Event()
+    stub = _StubPredictor(gate=gate)
+    imgs, centers = frames
+
+    def payload(i):
+        return {"img": imgs[i].tolist(),
+                "center_xyz": [float(x) for x in centers[i]]}
+
+    with AWRServer(stub, host="127.0.0.1", port=0, max_batch=1,
+                   max_wait_ms=0.0, max_queue=1,
+                   pipeline_depth=1).start() as srv:
+        results = {}
+
+        def client(i):
+            results[i] = _post_status(srv, "/predict", payload(i))
+
+        # requests 0-2 saturate the depth-1 dispatch pipeline (one
+        # popped by the gated completer, one in the pipeline queue, one
+        # blocked in the dispatcher's put); request 3 fills the
+        # 1-frame admission queue — all four accepted
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(4)]
+        for i, t in enumerate(threads):
+            t.start()
+            deadline = _time.time() + 30
+            while (srv.batcher.n_dispatches
+                   + srv.batcher._queued_frames) < i + 1:
+                assert _time.time() < deadline, (
+                    i, srv.batcher.n_dispatches,
+                    srv.batcher._queued_frames)
+                _time.sleep(0.005)
+        assert (srv.batcher.n_dispatches, srv.batcher._queued_frames) \
+            == (3, 1)
+        status, body = _post_status(srv, "/predict", payload(0))
+        assert status == 503
+        assert body.get("retryable") is True
+        gate.set()
+        for t in threads:
+            t.join(timeout=60)
+        assert all(results[i][0] == 200 for i in range(4)), results
+        h = _get(srv, "/healthz")
+        assert h["rejected"] == 1 and h["frames"] == 4
