@@ -104,7 +104,8 @@ def per_op_table(trace_dir: str, inner: int = INNER, top: int = 12,
     return rows[:top]
 
 
-def profile_train(trace_dir: str, batch: int = 128, outer: int = 4):
+def profile_train(trace_dir: str, batch: int = 128, outer: int = 4,
+                  net: str = "resnet_18"):
     """Chained-train-step trace + implied MFU (the training analog of
     the inference triangulation): INNER serial full train steps
     (encode + forward + backward + Adam) per dispatch, a device trace
@@ -123,7 +124,8 @@ def profile_train(trace_dir: str, batch: int = 128, outer: int = 4):
     from awr_tpu.training.trainer import Trainer
     from awr_tpu.utils.profiling import flops_of
 
-    cfg = Config(net="resnet_18", kernel_size=1.0, img_size=IMG,
+    ks = 1.0 if net.startswith("resnet") else 0.4
+    cfg = Config(net=net, kernel_size=ks, img_size=IMG,
                  batch_size=batch, vis_freq=0, print_freq=10**9,
                  compute_dtype="bfloat16", matmul_precision="default")
     ds = SyntheticHandDataset(min(batch, 64), cfg.jt_num, IMG,
@@ -173,7 +175,7 @@ def profile_train(trace_dir: str, batch: int = 128, outer: int = 4):
 
         mfu = round(fl / (ms_per_step * 1e-3) / chip_peak(), 4)
     tr.close()
-    result = dict(mode="train", net="resnet_18", batch=batch,
+    result = dict(mode="train", net=net, batch=batch,
                   ms_per_step=round(ms_per_step, 3),
                   train_fps=round(batch / ms_per_step * 1e3, 1),
                   step_gflops=round(fl / 1e9, 1) if fl else None,
@@ -287,9 +289,17 @@ def main():
     ap.add_argument("--table", action="store_true",
                     help="also print the per-op table for the default "
                          "bf16 inference trace")
+    ap.add_argument("--net", default="resnet_18",
+                    help="backbone for the inference/--train paths "
+                         "(e.g. hourglass_1; --int8 stays resnet)")
+    ap.add_argument("--train-batch", type=int, default=128,
+                    help="batch size for --train")
+    ap.add_argument("--infer-batch", type=int, default=BATCH,
+                    help="batch size for the inference triangulation")
     args = ap.parse_args()
     if args.train:
-        profile_train(args.trace_dir)
+        profile_train(args.trace_dir, batch=args.train_batch,
+                      net=args.net)
         return
     if args.int8:
         profile_int8(args.trace_dir, batch=args.batch)
@@ -299,11 +309,17 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from awr_tpu.config import resnet_config
+    from awr_tpu.config import hourglass_config, resnet_config
     from awr_tpu.models import build_model
     from awr_tpu.ops.decode import decode_offsets
 
-    cfg = resnet_config(18, compute_dtype="bfloat16")
+    if args.net.startswith("resnet"):
+        cfg = resnet_config(int(args.net.split("_")[1]),
+                            compute_dtype="bfloat16")
+    else:
+        cfg = hourglass_config(int(args.net.split("_")[1]),
+                               compute_dtype="bfloat16")
+    BATCH_N = args.infer_batch
     model = build_model(cfg.net, cfg.jt_num, cfg.downsample,
                         dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0),
@@ -314,6 +330,7 @@ def main():
     def infer(img):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           img[..., None], train=False)
+        out = out[-1] if out.ndim == 5 else out  # last hourglass stack
         return decode_offsets(out, img, cfg.kernel_size,
                               use_pallas=cfg.use_pallas)
 
@@ -330,7 +347,7 @@ def main():
 
     def fresh():
         return jnp.asarray(
-            rng.uniform(-1, 1, (BATCH, IMG, IMG)).astype(np.float32)
+            rng.uniform(-1, 1, (BATCH_N, IMG, IMG)).astype(np.float32)
             + np.float32(salt * 1e-3))
 
     # --- 1. synced single dispatches (fresh input per call) ---
@@ -361,12 +378,13 @@ def main():
         for r, _, fs in os.walk(args.trace_dir) for f in fs)
 
     result = dict(
-        batch=BATCH,
+        net=cfg.net,
+        batch=BATCH_N,
         synced_ms_per_batch=round(synced_ms, 3),
         chained_ms_per_batch=round(chained_ms, 3),
         dispatch_overhead_ms=round(synced_ms - chained_ms, 3),
-        chained_fps=round(BATCH / chained_ms * 1e3, 1),
-        synced_fps=round(BATCH / synced_ms * 1e3, 1),
+        chained_fps=round(BATCH_N / chained_ms * 1e3, 1),
+        synced_fps=round(BATCH_N / synced_ms * 1e3, 1),
         trace_dir=args.trace_dir,
         trace_bytes=trace_bytes,
     )

@@ -121,9 +121,10 @@ def awr_train_section(mesh, pid: int, nproc: int) -> dict:
     # SGD (not Adam) on purpose: Adam normalizes gradients, so fp32
     # reduction-order noise on near-zero-gradient elements becomes
     # lr-sized sign-random updates and the cross-topology comparison
-    # drowns (optimizer parity is proven separately by
-    # tests/test_train_dynamics_oracle.py); SGD keeps updates linear in
-    # the gradients and the comparison tight.
+    # drowns (SGD-vs-torch optimizer parity is proven separately by
+    # test_train_dynamics_oracle.py::test_resnet18_sgd_train_dynamics);
+    # SGD keeps updates linear in the gradients and the comparison
+    # tight.
     optimizer = make_optimizer("sgd", 0.0)(learning_rate=1e-2)
     train_step = jax.jit(make_train_step(model, optimizer, cfg))
     state = TrainState(params=variables["params"],

@@ -210,3 +210,32 @@ def test_remat_accum_trainer_ckpt_compatible(tmp_path):
     _tree_allclose(plain.state.params, tr.state.params, atol=0)
     tr.close()
     plain.close()
+
+
+def test_grad_accum_remat_mesh_equivalence(tmp_path):
+    """grad_accum AND remat together under the 8-device mesh == one
+    device (VERDICT r3 next-7: the modes were mesh-tested separately;
+    users enable them together for big-batch training).  The remat
+    half must stay a pure memory trade inside the scanned microbatch
+    loop under GSPMD partitioning."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    kw = dict(optimizer="sgd", lr=1e-2, grad_accum=2, remat=True,
+              batch_size=16)
+    meshy = make_trainer(tmp_path, "m8r", n=16, mesh_devices=8, **kw)
+    solo = make_trainer(tmp_path, "m1r", n=16, mesh_devices=1, **kw)
+    _tree_allclose(meshy.state.params, solo.state.params, atol=0)
+
+    batch, _ = meshy._pad(next(meshy.train_data.batches(16)))
+    st_m, m_m = meshy._train_step(meshy.state, meshy._put(batch))
+    st_s, m_s = solo._train_step(solo.state, solo._put(batch))
+    _tree_allclose(st_m.params, st_s.params, atol=1e-6)
+    # stats tolerate fp32 cross-device reduction-order noise (measured
+    # 3.7e-5 max); per-shard (unreduced) stats would differ at ~1e-1
+    _tree_allclose(st_m.batch_stats, st_s.batch_stats, atol=1e-4)
+    np.testing.assert_allclose(float(m_m["loss"]), float(m_s["loss"]),
+                               atol=1e-6)
+    meshy.close()
+    solo.close()

@@ -139,3 +139,34 @@ def test_pallas_encode_under_multidevice_mesh_interpret():
     exp = np.asarray(joint2offset(jnp.asarray(jt), jnp.asarray(img),
                                   0.8, F))
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_decode_vjp_fixed_cotangent_tight():
+    """Tight backward regression check (ADVICE r3): the loss-induced
+    gradient comparison above must tolerate 1e-3 because the cotangent
+    g = 2*jt carries the kernel-vs-jnp FORWARD rounding into the vjp.
+    With a FIXED cotangent that amplifier is gone: the custom_vjp's
+    residuals are the raw inputs (ops/decode.py _fwd), so its backward
+    runs the IDENTICAL jnp twin on identical operands and must agree
+    near roundoff — a future backward regression (wrong residuals,
+    dropped mask, transposed layout) cannot hide under forward noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from awr_tpu.ops.decode import decode_offsets
+
+    B, F, J = 2, 8, 14
+    img, _ = tiny_batch(B=B)
+    off = RNG.randn(B, F, F, 4 * J).astype(np.float32) * 0.3
+    ct = jnp.asarray(RNG.randn(B, J, 3).astype(np.float32))
+    img_j, off_j = jnp.asarray(img), jnp.asarray(off)
+
+    _, vjp_pallas = jax.vjp(
+        lambda o: decode_offsets(o, img_j, 0.4, use_pallas=True,
+                                 interpret=True), off_j)
+    _, vjp_jnp = jax.vjp(
+        lambda o: offset2joint_softmax(o, img_j, 0.4), off_j)
+    (g_p,) = vjp_pallas(ct)
+    (g_x,) = vjp_jnp(ct)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-6, atol=1e-7)

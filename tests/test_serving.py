@@ -283,3 +283,41 @@ def test_export_stablehlo_full_graph(tmp_path):
     assert got.shape == (B, cfg.jt_num, 3)
     # f32 in-graph M inversion vs the f64 host one: sub-0.01 px
     np.testing.assert_allclose(got, expected, rtol=0, atol=1e-2)
+
+
+def test_mesh_int8_serving_matches_single_device():
+    """Int8 serving under the 8-device DATA mesh == single-device int8
+    (VERDICT r3 next-7: every mode users can enable must keep the
+    single-device behavioral contract under a mesh — SURVEY.md §5.8).
+    Identical calibration batches on both sides give identical scales;
+    the padded bucket rounds to a multiple of the mesh size."""
+    import jax
+    import jax.numpy as jnp
+
+    from awr_tpu.models import build_model
+    from awr_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8, "conftest provides 8 CPU devices"
+    cfg = Config(net="resnet_18", kernel_size=1.0, img_size=64,
+                 batch_size=8, vis_freq=0, use_pallas=False,
+                 print_freq=1000)
+    model = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    variables = dict(model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 1)), train=True))
+    g = np.random.RandomState(3)
+    calib = g.uniform(-1, 1, (8, 64, 64)).astype(np.float32)
+    imgs = g.uniform(-1, 1, (12, 64, 64)).astype(np.float32)
+
+    p1 = Predictor(cfg, variables)
+    p8 = Predictor(cfg, variables, mesh=make_mesh(8))
+    p1.quantize(calib)
+    p8.quantize(calib)
+    # identical scales prove calibration ignores the mesh layout
+    s1 = jax.tree_util.tree_leaves(jax.device_get(p1.quant))
+    s8 = jax.tree_util.tree_leaves(jax.device_get(p8.quant))
+    for a, b in zip(s1, s8):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    out1 = p1.predict_normalized(imgs)
+    out8 = p8.predict_normalized(imgs)
+    assert out8.shape == (12, cfg.jt_num, 3)
+    np.testing.assert_allclose(out8, out1, rtol=1e-4, atol=1e-4)

