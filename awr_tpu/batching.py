@@ -226,6 +226,7 @@ class BatchingPredictor:
         self.service_model = _ServiceModel(self._p._bucket)
         self._inflight_lock = threading.Lock()
         self._inflight_pred_s = 0.0
+        self._inflight_groups = 0
         # dispatch/finalize pipeline: the dispatcher enqueues device
         # work via Predictor.predict_async and hands (finalize, group)
         # here; the completer thread blocks on results and resolves
@@ -365,10 +366,22 @@ class BatchingPredictor:
                 f"{self.deadline_s * 1e3:.0f} before it could be "
                 f"served (overload)"))
 
+    def _busy(self) -> bool:
+        with self._inflight_lock:
+            return self._inflight_groups > 0
+
     def _next_request(self):
         """Head of the next group: a held-back request if one exists,
         else block on the queue.  With a deadline, sheds heads that can
-        no longer be served in time even alone."""
+        no longer be served in time even alone — UNLESS the dispatch
+        pipeline is idle.  The idle override is a liveness guarantee:
+        shedding produces no service-time observations, so if the model
+        ever learns a pathological value (e.g. a first-dispatch remote
+        compile measured as ~100 s of 'service'), shed-everything would
+        be a permanent absorbing state with an idle device.  Dispatching
+        the head when nothing is in flight costs nothing (the device is
+        free), may still make its deadline, and re-measures the service
+        time so the EWMA recovers."""
         while True:
             if self._held is not None:
                 req, self._held = self._held, None
@@ -380,7 +393,8 @@ class BatchingPredictor:
             if self.deadline_s is None:
                 return req
             est = self.service_model.estimate(req.frames)
-            if est is None or self._budget_s(req) >= est:
+            if (est is None or self._budget_s(req) >= est
+                    or not self._busy()):
                 return req
             self._shed(req)
 
@@ -491,8 +505,9 @@ class BatchingPredictor:
             self.n_dispatches += 1
             self.n_frames += len(imgs)
             pred_s = self.service_model.estimate(len(imgs))
-            if pred_s is not None:
-                with self._inflight_lock:
+            with self._inflight_lock:
+                self._inflight_groups += 1
+                if pred_s is not None:
                     self._inflight_pred_s += pred_s
             t_dispatch = time.perf_counter()
             # blocks at pipeline depth:
@@ -548,6 +563,7 @@ class BatchingPredictor:
                     if not r.future.done():
                         r.future.set_exception(e)
             finally:
-                if pred_s is not None:
-                    with self._inflight_lock:
+                with self._inflight_lock:
+                    self._inflight_groups -= 1
+                    if pred_s is not None:
                         self._inflight_pred_s -= pred_s

@@ -412,6 +412,34 @@ def test_deadline_caps_group_size_to_feasible_bucket():
         bp.close()
 
 
+def test_poisoned_service_model_recovers_via_idle_dispatch():
+    """Liveness: if the service model learns a pathological value (a
+    first-dispatch remote compile measured as ~minutes of 'service'),
+    shedding everything would be an absorbing state — sheds produce no
+    observations.  The idle override must dispatch the head anyway,
+    re-measure, and recover to serving."""
+    stub = _StubPredictor()  # instant service
+    bp = BatchingPredictor(stub, max_batch=8, max_wait_ms=0.0,
+                           pipeline_depth=1, deadline_ms=200.0)
+    try:
+        # poison: pretend the only observation was a 120 s compile
+        bp.service_model.observe(8, 120.0)
+        assert bp.service_model.estimate(1) > bp.deadline_s
+        # pipeline idle -> the head must dispatch, not shed
+        out = bp.predict(_stub_frame(0), _CENTER, timeout=30)
+        assert out[0, 0] == 0.0
+        assert bp.n_shed == 0
+        # the measured (fast) service pulls the EWMA down geometrically
+        # (120 s x 0.6^k); nothing sheds on the way and the model is
+        # sane again within ~15 observations
+        for i in range(1, 16):
+            bp.predict(_stub_frame(i), _CENTER, timeout=30)
+        assert bp.service_model.estimate(8) < 1.0
+        assert bp.n_shed == 0
+    finally:
+        bp.close()
+
+
 def test_cancelled_future_does_not_poison_group():
     """ADVICE r3: a client-cancelled future in a coalesced group must
     not fail its co-batched neighbours (set_result on a cancelled
