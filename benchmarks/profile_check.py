@@ -300,6 +300,9 @@ def main():
     if args.train:
         profile_train(args.trace_dir, batch=args.train_batch,
                       net=args.net)
+        if args.table:
+            for row in per_op_table(args.trace_dir):
+                print(json.dumps(row))
         return
     if args.int8:
         profile_int8(args.trace_dir, batch=args.batch)
