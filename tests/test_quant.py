@@ -347,22 +347,68 @@ def test_qat_matches_int8_under_default_matmul_precision():
 
 
 def test_gap_scaled_recipe_selection():
-    """The documented default QAT budget scales with the PTQ gap
-    (training/qat.gap_scaled_recipe; provenance in its docstring).
-
-    Guards the two measured regimes and the boundary: an aggressive
-    budget on a small gap overfits (hourglass_1 0.742 -> 0.802
-    held-out), so small gaps MUST map to the gentle recipe.
-    """
+    """The default QAT budget is the gentle recipe for EVERY gap
+    (training/qat.gap_scaled_recipe; n=3 on-chip provenance in its
+    docstring).  The round-3 version branched to 500 @ 1e-4 above a
+    0.1 mm gap — refuted by the round-4 resnet_50 run, where the
+    aggressive budget on a 0.48 mm gap made int8 +1.1 mm WORSE than
+    plain PTQ while the gentle one recovered 80% of the gap
+    (runs/convergence_qat_resnet50_r04{,_gentle}.json).  Gap size must
+    NOT select an aggressive budget."""
     from awr_tpu.training.qat import gap_scaled_recipe
 
-    # the two measured gaps land in their measured regimes
-    assert gap_scaled_recipe(0.129) == (500, 1e-4)   # resnet_18 r02
+    # all measured gaps — and any other — map to the gentle recipe
+    assert gap_scaled_recipe(0.129) == (100, 1e-5)   # resnet_18 r02
     assert gap_scaled_recipe(0.072) == (100, 1e-5)   # hourglass_1 r02
-    # boundary: 0.1 mm belongs to the aggressive regime
-    assert gap_scaled_recipe(0.1) == (500, 1e-4)
-    assert gap_scaled_recipe(0.0999) == (100, 1e-5)
-    # degenerate gaps (PTQ already better) stay gentle
+    assert gap_scaled_recipe(0.481) == (100, 1e-5)   # resnet_50 r04
     assert gap_scaled_recipe(-0.05) == (100, 1e-5)
-    steps, lr = gap_scaled_recipe(5.0)
-    assert steps == 500 and lr == 1e-4
+    assert gap_scaled_recipe(5.0) == (100, 1e-5)
+
+
+def test_validated_qat_falls_back_when_worse():
+    """Predictor.quantize_qat(holdout_batches=...): if the fine-tune
+    scores WORSE than plain PTQ on held-out data, the fine-tuned
+    weights are discarded and the Predictor serves PTQ — the defense
+    the resnet_50 misprediction showed is necessary.  Forcing the
+    regression deterministically: an absurd lr wrecks the weights on
+    the tuning batch."""
+    from awr_tpu.config import Config
+    from awr_tpu.serving import Predictor
+
+    cfg = Config(net="resnet_18", kernel_size=1.0, img_size=32,
+                 jt_num=14, use_pallas=False)
+    fp = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    rs = np.random.RandomState(6)
+
+    def mk_batch(seed):
+        g = np.random.RandomState(seed)
+        return {"img": g.uniform(-1, 1, (4, 32, 32)).astype(np.float32),
+                "jt_uvd": g.uniform(-0.8, 0.8,
+                                    (4, 14, 3)).astype(np.float32)}
+
+    tune, holdout = mk_batch(1), mk_batch(2)
+    img = jnp.asarray(tune["img"])
+    v = fp.init(KEY, img[..., None], train=True)
+    pred = Predictor(cfg, dict(v))
+    params_before = jax.device_get(pred.params)
+
+    pred.quantize_qat([tune], steps=5, lr=50.0,  # deliberately ruinous
+                      holdout_batches=[holdout])
+    assert pred.qat_validation["fell_back"] is True
+    assert (pred.qat_validation["qat_loss"]
+            > pred.qat_validation["ptq_loss"])
+    # the served weights are the ORIGINAL (PTQ) ones
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(pred.params))):
+        np.testing.assert_array_equal(a, b)
+    # and the predictor still serves int8
+    out = pred.predict_normalized(holdout["img"])
+    assert np.isfinite(out).all()
+
+    # a sane gentle fine-tune is KEPT (no fallback)
+    pred2 = Predictor(cfg, dict(v))
+    pred2.quantize_qat([tune], steps=10, lr=1e-3,
+                       holdout_batches=[tune])  # validate on tune set:
+    # the fine-tune optimizes exactly this objective, so it must help
+    assert pred2.qat_validation["fell_back"] is False
