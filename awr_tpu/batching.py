@@ -188,7 +188,8 @@ class BatchingPredictor:
     def __init__(self, predictor, max_batch: int = 64,
                  max_wait_ms: float = 2.0, pipeline_depth: int = 2,
                  deadline_ms: Optional[float] = None,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 deadline_margin: float = 1.0):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if pipeline_depth < 1:
@@ -197,11 +198,20 @@ class BatchingPredictor:
             raise ValueError("deadline_ms must be positive")
         if max_queue is not None and max_queue < 1:
             raise ValueError("max_queue must be >= 1")
+        if deadline_margin < 1.0:
+            raise ValueError("deadline_margin must be >= 1.0")
         self._p = predictor
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self.deadline_s = (None if deadline_ms is None
                            else float(deadline_ms) / 1000.0)
+        # scales service-time ESTIMATES in the budget/cap/shed math
+        # (never the measurements).  The EWMA underestimates under
+        # load: the r04 sustained-overload run landed served p99 at
+        # 1.44x the deadline (BENCH_NOTES_r04.md §3) — set ~1.4 to
+        # trade served count for tighter SLO adherence, 1.0 (default)
+        # for maximum goodput.
+        self.deadline_margin = float(deadline_margin)
         self.max_queue = None if max_queue is None else int(max_queue)
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
@@ -370,6 +380,11 @@ class BatchingPredictor:
         with self._inflight_lock:
             return self._inflight_groups > 0
 
+    def _est(self, frames: int) -> Optional[float]:
+        """Margin-scaled service estimate for budget/cap/shed math."""
+        e = self.service_model.estimate(frames)
+        return None if e is None else e * self.deadline_margin
+
     def _next_request(self):
         """Head of the next group: a held-back request if one exists,
         else block on the queue.  With a deadline, sheds heads that can
@@ -392,7 +407,7 @@ class BatchingPredictor:
                 self._unqueue(req)
             if self.deadline_s is None:
                 return req
-            est = self.service_model.estimate(req.frames)
+            est = self._est(req.frames)
             if (est is None or self._budget_s(req) >= est
                     or not self._busy()):
                 return req
@@ -411,7 +426,7 @@ class BatchingPredictor:
         cap = 0
         b = self._p._bucket(1)  # smallest bucket the Predictor pads to
         while b <= self._p._bucket(self.max_batch):
-            est = self.service_model.estimate(b)
+            est = self._est(b)
             if est is None:
                 return self.max_batch  # cold: no model yet
             if est > budget:
@@ -449,7 +464,7 @@ class BatchingPredictor:
                 break
             self._unqueue(nxt)
             if self.deadline_s is not None:
-                est = self.service_model.estimate(nxt.frames)
+                est = self._est(nxt.frames)
                 if est is not None and self._budget_s(nxt) < est:
                     self._shed(nxt)  # stale: cannot make it even alone
                     continue
@@ -504,7 +519,7 @@ class BatchingPredictor:
             finalize = self._p.predict_async(imgs, centers, cubes)
             self.n_dispatches += 1
             self.n_frames += len(imgs)
-            pred_s = self.service_model.estimate(len(imgs))
+            pred_s = self._est(len(imgs))
             with self._inflight_lock:
                 self._inflight_groups += 1
                 if pred_s is not None:

@@ -103,14 +103,16 @@ class AWRServer:
                  max_request_bytes: int = 64 * 1024 * 1024,
                  deadline_ms: Optional[float] = None,
                  max_queue: Optional[int] = None,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2,
+                 deadline_margin: float = 1.0):
         self.predictor = predictor
         self.max_request_bytes = int(max_request_bytes)
         self.batcher = BatchingPredictor(predictor, max_batch=max_batch,
                                          max_wait_ms=max_wait_ms,
                                          deadline_ms=deadline_ms,
                                          max_queue=max_queue,
-                                         pipeline_depth=pipeline_depth)
+                                         pipeline_depth=pipeline_depth,
+                                         deadline_margin=deadline_margin)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -287,6 +289,10 @@ def main(argv=None):
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="dispatched-but-unfinalized group bound "
                          "(batching.BatchingPredictor)")
+    ap.add_argument("--deadline-margin", type=float, default=1.0,
+                    help="scale service ESTIMATES in the deadline "
+                         "math; ~1.4 trades served count for tighter "
+                         "SLO adherence (BENCH_NOTES_r04.md s3)")
     ap.add_argument("--int8-calib", default="",
                     help=".npy of (N, S, S) normalized calibration "
                          "frames: serve int8 (Predictor.quantize)")
@@ -313,7 +319,8 @@ def main(argv=None):
                     max_request_bytes=args.max_request_mb * 1024 * 1024,
                     deadline_ms=args.deadline_ms,
                     max_queue=args.max_queue,
-                    pipeline_depth=args.pipeline_depth)
+                    pipeline_depth=args.pipeline_depth,
+                    deadline_margin=args.deadline_margin)
     print(f"serving {cfg.net} on {args.host}:{srv.port} "
           f"(int8={hasattr(pred, 'quant')})")
     try:

@@ -412,6 +412,37 @@ def test_deadline_caps_group_size_to_feasible_bucket():
         bp.close()
 
 
+def test_deadline_margin_tightens_caps_and_shedding():
+    """deadline_margin scales ESTIMATES in the budget/cap/shed math
+    (measurements are unscaled): the r04 sustained-overload run showed
+    served p99 at 1.44x the deadline because the EWMA underestimates
+    under load — margin ~1.4 buys back SLO adherence at the cost of
+    served count.  At margin=2 here, est(16) doubles past the budget,
+    so caps land one bucket lower than the margin=1 test above."""
+    stub = _StubPredictor(per_frame_s=0.01)  # bucket 8=80ms, 16=160ms
+    bp = BatchingPredictor(stub, max_batch=64, max_wait_ms=0.0,
+                           pipeline_depth=1, deadline_ms=300.0,
+                           deadline_margin=2.0)
+    try:
+        bp.predict(_stub_frame(0), _CENTER, timeout=30)  # warm model
+        # margin-scaled est: est(8) ~ 160ms fits 300ms, est(16) ~ 320ms
+        # does not -> caps must stay at <= 8 (vs <= 16 at margin 1)
+        futs = [bp.submit(_stub_frame(i), _CENTER) for i in range(32)]
+        served = 0
+        for f in futs:
+            try:
+                f.result(timeout=30)
+                served += 1
+            except DeadlineExceeded:
+                pass
+        assert max(stub.group_sizes[1:]) <= 8, stub.group_sizes
+        assert served >= 1
+    finally:
+        bp.close()
+    with pytest.raises(ValueError):
+        BatchingPredictor(stub, deadline_margin=0.5)
+
+
 def test_poisoned_service_model_recovers_via_idle_dispatch():
     """Liveness: if the service model learns a pathological value (a
     first-dispatch remote compile measured as ~minutes of 'service'),
