@@ -63,10 +63,15 @@ independent:
   instead of queueing unbounded.
 - Counters ``n_shed`` / ``n_rejected`` make both visible (healthz).
 
-With ``deadline_ms`` set, served throughput is monotone in offered
-load (it plateaus at capacity; the excess is shed with a crisp error)
-and served-request p99 stays bounded near the deadline — measured in
-``benchmarks/serving_open_r04.jsonl`` vs the r03 collapse.
+Measured (``benchmarks/serving_open_r04.jsonl``, analysis in
+BENCH_NOTES_r04.md §3): below saturation the defenses are free
+(served == offered, zero sheds); under SUSTAINED overload served
+throughput plateaus at capacity with p99 ~1.4x the deadline while the
+excess fails fast — vs the undefended convoys whose latency grows with
+backlog depth.  Known limit: a sub-second burst can catch the EWMA
+still optimistic, so the first groups may serve past the deadline
+before the model corrects (``deadline_margin`` trades served count for
+tighter adherence).
 """
 
 from __future__ import annotations
