@@ -56,13 +56,17 @@ def gap_scaled_recipe(ptq_delta_mm: float) -> tuple:
 
     | model       | PTQ gap  | 500 @ 1e-4 (aggressive) | 100 @ 1e-5 (gentle) |
     |-------------|----------|-------------------------|---------------------|
-    | resnet_18   | +0.129   | closed gap, beat fp     | (not measured)      |
+    | resnet_18   | +0.129   | closed gap, beat fp     | beat fp too: -0.057 |
+    |             | / +0.018 |                         | (r04 retrain)       |
     | hourglass_1 | +0.072   | overfit: +0.060 WORSE   | +0.003              |
     | resnet_50   | +0.48-87 | DESTABILIZED: +1.565,   | +0.176 (80% of gap  |
     |             |          | tune loss itself ROSE   | recovered)          |
 
     (runs/convergence_qat_r02.json, convergence_qat_hourglass_r02{,b}
-    .json, convergence_qat_resnet50_r04{,_gentle}.json.)  Gap size does
+    .json, convergence_qat_resnet{50,18}_r04{_gentle,}*.json.)  The
+    grid is complete at n=4 runs across all 3 measured families:
+    gentle NEVER hurt and twice ended below the fp model; aggressive
+    hurt 2 of 3.  Gap size does
     NOT predict the safe budget: resnet_50's gap was 4-7x resnet_18's
     and the aggressive recipe still made int8 WORSE than no QAT at all
     (lr 1e-4 destabilizes the outlier-heavy deeper net — its fine-tune

@@ -38,7 +38,11 @@ def main():
                     help="direct joint-coordinate loss weight (the "
                          "reference exposes coord_weight, config.py:41; "
                          "the hourglass needs it on this task — the "
-                         "dense-only signal collapses at lr 1e-3)")
+                         "dense-only signal collapses at lr 1e-3 — and "
+                         "the dense-only resnet recipe is trajectory-"
+                         "bimodal: an r04 resnet_18 run sat at the "
+                         "152 mm dead basin for 80+ epochs where "
+                         "0.1 broke through by epoch 7)")
     ap.add_argument("--out", default="runs/convergence_r02.json")
     ap.add_argument("--workdir", default="runs/r02_convergence")
     ap.add_argument("--int8-eval", action="store_true",
