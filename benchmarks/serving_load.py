@@ -106,6 +106,9 @@ def main():
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="BatchingPredictor pipeline_depth for every "
                          "scenario (recorded per row)")
+    ap.add_argument("--deadline-margin", type=float, default=1.0,
+                    help="BatchingPredictor deadline_margin for every "
+                         "open-loop scenario (recorded per row)")
     ap.add_argument("--out", default="benchmarks/serving_load_r02.jsonl")
     args = ap.parse_args()
 
@@ -338,7 +341,9 @@ def main():
                                max_wait_ms=wait_ms,
                                pipeline_depth=args.pipeline_depth,
                                deadline_ms=deadline_ms,
-                               max_queue=max_queue) as bp:
+                               max_queue=max_queue,
+                               deadline_margin=args.deadline_margin
+                               ) as bp:
             futures = [None] * n
             sched = []
             done = [0.0] * n  # completion stamps, written by whichever
@@ -407,6 +412,7 @@ def main():
             max_wait_ms=wait_ms, max_batch=max_batch,
             deadline_ms=deadline_ms, max_queue=max_queue,
             pipeline_depth=args.pipeline_depth,
+            deadline_margin=args.deadline_margin,
             p50_latency_ms=round(float(np.percentile(lat_ms, 50)), 2),
             p99_latency_ms=round(float(np.percentile(lat_ms, 99)), 2),
             mean_latency_ms=round(float(np.mean(lat_ms)), 2),
