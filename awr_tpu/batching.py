@@ -430,14 +430,21 @@ class BatchingPredictor:
         budget = self._budget_s(head)
         cap = 0
         b = self._p._bucket(1)  # smallest bucket the Predictor pads to
-        while b <= self._p._bucket(self.max_batch):
+        top = self._p._bucket(self.max_batch)
+        while True:
             est = self._est(b)
             if est is None:
                 return self.max_batch  # cold: no model yet
             if est > budget:
                 break
             cap = b
-            b *= 2
+            if b >= top:
+                break
+            # step to the next REAL executable boundary: under a data
+            # mesh the Predictor rounds buckets to a multiple of the
+            # mesh size, so naive doubling would walk sizes that are
+            # not buckets and the cap would miss the boundary
+            b = self._p._bucket(b + 1)
         # the head itself always dispatches (it passed the shed check;
         # a zero cap here just means the model moved under it)
         return min(max(cap, head.frames), self.max_batch)
@@ -468,10 +475,20 @@ class BatchingPredictor:
                 stop = True
                 break
             self._unqueue(nxt)
-            if self.deadline_s is not None:
+            # stale: cannot make its deadline even dispatched alone.
+            # The _busy() guard mirrors _next_request's liveness
+            # override: with an idle pipeline a poisoned estimate must
+            # not shed — let the request join this group (or lead the
+            # next) so real service times keep flowing into the EWMA.
+            if self.deadline_s is not None and self._busy():
                 est = self._est(nxt.frames)
                 if est is not None and self._budget_s(nxt) < est:
-                    self._shed(nxt)  # stale: cannot make it even alone
+                    self._shed(nxt)
+                    # shedding must not re-open the grace window: a
+                    # trickle of stale requests would otherwise delay
+                    # the head by max_wait_s per shed, dispatching it
+                    # long after its own budget check
+                    deadline_wait = 0.0
                     continue
             if frames + nxt.frames > cap:
                 # does not fit this group's latency budget: it leads

@@ -120,11 +120,14 @@ class AWRServer:
             def log_message(self, fmt, *args):  # noqa: D102
                 pass
 
-            def _reply(self, code: int, payload: dict):
+            def _reply(self, code: int, payload: dict,
+                       extra_headers: Optional[dict] = None):
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -167,14 +170,9 @@ class AWRServer:
                     # overload, not a server fault: tell the client to
                     # back off and retry (batching.py module docstring;
                     # both paths are bounded-latency by construction)
-                    self.send_response(503)
-                    body = json.dumps({"error": str(e),
-                                       "retryable": True}).encode()
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.send_header("Retry-After", "1")
-                    self.end_headers()
-                    self.wfile.write(body)
+                    self._reply(503, {"error": str(e),
+                                      "retryable": True},
+                                extra_headers={"Retry-After": "1"})
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
                     self._reply(400, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001 - report, don't die

@@ -208,20 +208,28 @@ class Predictor:
         if self.mesh is not None:
             params, batch_stats, quant = jax.device_get(
                 (params, batch_stats, quant))
-        new_params, new_stats, self.quant, losses = finetune(
+        # Predictor state is mutated only AFTER the fine-tune AND the
+        # holdout validation both succeed: an exception anywhere below
+        # (malformed holdout batch, device fault) must leave the
+        # Predictor exactly as it was — in particular self.quant must
+        # not name scales the serving graph never switched to.
+        new_params, new_stats, new_quant, losses = finetune(
             self.cfg, params, batch_stats, labeled_batches,
             steps=steps, lr=lr, percentile=percentile, quant=quant)
         if holdout_batches:
-            ptq_loss = int8_holdout_loss(self.cfg, params, batch_stats,
-                                         self.quant, holdout_batches)
-            qat_loss = int8_holdout_loss(self.cfg, new_params, new_stats,
-                                         self.quant, holdout_batches)
+            # one compiled eval step scores BOTH candidates (the int8
+            # executable is identical; a second jit would pay a
+            # duplicate multi-minute remote compile)
+            ptq_loss, qat_loss = int8_holdout_loss(
+                self.cfg, new_quant, holdout_batches,
+                (params, batch_stats), (new_params, new_stats))
             fell_back = bool(qat_loss > ptq_loss)
             self.qat_validation = dict(ptq_loss=float(ptq_loss),
                                        qat_loss=float(qat_loss),
                                        fell_back=fell_back)
             if fell_back:
                 new_params, new_stats = params, batch_stats
+        self.quant = new_quant
         self.params, self.batch_stats = new_params, new_stats
         self._switch_int8()
         return losses

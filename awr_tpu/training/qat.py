@@ -178,9 +178,12 @@ def batches_from_dataset(dataset, batch_size: int = 32,
     return out
 
 
-def int8_holdout_loss(cfg: Config, params, batch_stats, quant,
-                      batches: Sequence[Dict[str, np.ndarray]]) -> float:
-    """Mean int8-graph eval-mode loss over labeled HOLDOUT batches.
+def int8_holdout_loss(cfg: Config, quant,
+                      batches: Sequence[Dict[str, np.ndarray]],
+                      *candidates) -> list:
+    """Mean int8-graph eval-mode loss over labeled HOLDOUT batches for
+    each ``(params, batch_stats)`` candidate; returns one float per
+    candidate.
 
     The validation metric for fallback-guarded QAT
     (:meth:`awr_tpu.serving.Predictor.quantize_qat` with
@@ -189,19 +192,30 @@ def int8_holdout_loss(cfg: Config, params, batch_stats, quant,
     whether QAT actually helped — the round-4 resnet_50 run showed a
     budget rule alone cannot be trusted to know
     (runs/convergence_qat_resnet50_r04.json: 'gap-scaled' QAT scored
-    +1.1 mm WORSE than plain PTQ held-out)."""
+    +1.1 mm WORSE than plain PTQ held-out).
+
+    All candidates share ONE jitted eval step (params are call
+    arguments, not compile-time constants), so comparing PTQ vs QAT
+    costs a single executable — a per-candidate ``jax.jit`` would pay
+    a duplicate multi-minute remote compile per comparison on the
+    tunneled chip (CLAUDE.md)."""
     from awr_tpu.training.steps import make_eval_step
 
     model = build_model(cfg.net, cfg.jt_num, cfg.downsample,
                         dtype=DTYPES[cfg.compute_dtype],
                         quant_mode="int8")
     step = jax.jit(make_eval_step(model, cfg, quant=quant))
-    tot, n = 0.0, 0
-    for b in batches:
-        batch = {"img": jnp.asarray(np.asarray(b["img"], np.float32)),
-                 "jt_uvd": jnp.asarray(np.asarray(b["jt_uvd"],
-                                                  np.float32))}
-        m = step(params, batch_stats, batch)
-        tot += float(m["loss"]) * len(b["img"])
-        n += len(b["img"])
-    return tot / max(n, 1)
+    dev_batches = [
+        {"img": jnp.asarray(np.asarray(b["img"], np.float32)),
+         "jt_uvd": jnp.asarray(np.asarray(b["jt_uvd"], np.float32))}
+        for b in batches
+    ]
+    out = []
+    for params, batch_stats in candidates:
+        tot, n = 0.0, 0
+        for batch in dev_batches:
+            m = step(params, batch_stats, batch)
+            tot += float(m["loss"]) * len(batch["img"])
+            n += len(batch["img"])
+        out.append(tot / max(n, 1))
+    return out

@@ -117,7 +117,10 @@ def main():
         wait, batch = float(parts[0]), int(parts[1])
         deadline = (float(parts[2]) if len(parts) > 2
                     and float(parts[2]) > 0 else None)
-        mq = int(parts[3]) if len(parts) > 3 else None
+        # 0 = off, same convention as the deadline field (max_queue=0
+        # would be rejected by BatchingPredictor)
+        mq = (int(parts[3]) if len(parts) > 3 and int(parts[3]) > 0
+              else None)
         return wait, batch, deadline, mq
 
     knobs = [parse_knob(k) for k in args.open_loop_knobs]
