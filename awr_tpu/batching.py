@@ -69,13 +69,17 @@ BENCH_NOTES_r04.md §3): below saturation the defenses are free
 throughput plateaus at capacity with p99 ~1.4x the deadline while the
 excess fails fast — vs the undefended convoys whose latency grows with
 backlog depth.  Known limit: a sub-second burst can catch the EWMA
-still optimistic, so the first groups may serve past the deadline
-before the model corrects (``deadline_margin`` trades served count for
-tighter adherence).
+still cold or optimistic, so the first groups may serve past the
+deadline before the model corrects (``deadline_margin`` trades served
+count for tighter adherence).  :meth:`BatchingPredictor.
+prime_service_model` closes that window at startup: it compiles every
+bucket and seeds the EWMA with measured steady-state service times, so
+the very first burst group is already latency-capped.
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -123,6 +127,14 @@ class _ServiceModel:
                           else self.ALPHA * seconds
                           + (1 - self.ALPHA) * prev)
 
+    def reset(self, frames: int) -> None:
+        """Forget the observation for ``frames``'s padded bucket (used
+        by priming to discard a first dispatch that measured executable
+        compile time as 'service')."""
+        b = self._bucket(int(frames))
+        with self._lock:
+            self._s.pop(b, None)
+
     def estimate(self, frames: int) -> Optional[float]:
         """Predicted service seconds for a group of ``frames`` frames
         (i.e. its padded bucket), or None before any observation.
@@ -151,15 +163,20 @@ class _ServiceModel:
 
 class _Request:
     __slots__ = ("imgs", "centers", "cubes", "future", "batched",
-                 "t_arrival")
+                 "prime", "t_arrival")
 
-    def __init__(self, imgs, centers, cubes, future, batched=False):
+    def __init__(self, imgs, centers, cubes, future, batched=False,
+                 prime=False):
         self.imgs = imgs
         self.centers = centers
         self.cubes = cubes
         self.future = future
         # batched requests resolve to (B, J, 3); single-frame to (J, 3)
         self.batched = batched
+        # priming requests exist to MEASURE service: they are exempt
+        # from the deadline shed/budget math (a compile-throwaway
+        # estimate must not shed the dispatch that would correct it)
+        self.prime = prime
         self.t_arrival = time.perf_counter()
 
     @property
@@ -341,6 +358,87 @@ class BatchingPredictor:
         return self.submit_batch(imgs, centers_xyz,
                                  cubes).result(timeout=timeout)
 
+    def prime_service_model(self, frame_shape, buckets=None,
+                            repeats: int = 2,
+                            center_z_mm: float = 500.0
+                            ) -> Dict[int, float]:
+        """Compile every dispatch bucket and seed the service-time EWMA
+        with measured steady-state service, BEFORE real traffic.
+
+        The deadline machinery is estimate-driven: a COLD model caps
+        nothing and sheds nothing, so a burst that arrives before each
+        bucket has been measured is swept convoy-style and served past
+        the deadline (the r04 burst transient, BENCH_NOTES_r04.md §3).
+        Priming removes that window — after it returns, the very first
+        group of a burst is already latency-capped and stale requests
+        shed from the start.
+
+        Per bucket (ascending, every padded size a group can execute
+        at): ONE throwaway dispatch compiles the executable — its
+        timing is discarded (:meth:`_ServiceModel.reset`) because a
+        first dispatch measures the multi-minute remote compile, not
+        service — then ``repeats`` measured dispatches feed the EWMA
+        through the normal completer path.  Frames are freshly random
+        per dispatch: the serving transport memoizes identical
+        dispatches (BENCH_METHODOLOGY.md), so constant frames would
+        measure the result cache and seed an optimistic model — the
+        exact failure priming exists to prevent.
+
+        Priming requests share the dispatcher with real traffic (and
+        count in ``n_dispatches``/``n_frames``) but bypass
+        ``max_queue`` admission; call this before exposing the stack.
+        Returns the seeded ``{bucket: seconds}`` snapshot.
+
+        Args:
+          frame_shape: (H0, W0) of the raw frames clients will send
+            (service time is keyed by bucket only, so prime with the
+            deployment's dominant resolution).
+          buckets: padded sizes to prime; defaults to every executable
+            bucket a dispatch group can land on (``_bucket(1)`` up to
+            ``_bucket(max_batch)``).
+          repeats: measured dispatches per bucket after the compile
+            throwaway (the EWMA seed).
+          center_z_mm: synthetic hand-center depth for the crop path.
+        """
+        if repeats < 1:
+            raise ValueError("repeats must be >= 1")
+        if buckets is None:
+            buckets = []
+            b = self._p._bucket(1)
+            top = self._p._bucket(self.max_batch)
+            while True:
+                buckets.append(b)
+                if b >= top:
+                    break
+                b = self._p._bucket(b + 1)
+        rng = np.random.default_rng(
+            int.from_bytes(os.urandom(8), "little"))
+        for b in buckets:
+            centers = np.tile(
+                np.array([0.0, 0.0, float(center_z_mm)]), (int(b), 1))
+            for i in range(repeats + 1):
+                imgs = rng.uniform(
+                    center_z_mm - 100.0, center_z_mm + 100.0,
+                    (int(b),) + tuple(frame_shape)).astype(np.float32)
+                self._prime_submit(imgs, centers).result()
+                if i == 0:
+                    self.service_model.reset(int(b))
+        return self.service_model.snapshot()
+
+    def _prime_submit(self, imgs, centers) -> Future:
+        """Enqueue a priming batch, bypassing ``max_queue`` admission
+        (priming must not be rejected by the knob it calibrates)."""
+        fut: Future = Future()
+        req = _Request(np.asarray(imgs, np.float32),
+                       np.asarray(centers, np.float64), None, fut,
+                       batched=True, prime=True)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("BatchingPredictor is closed")
+            self._queued_frames += req.frames
+            self._q.put(req)
+        return fut
+
     def close(self, wait: bool = True):
         """Stop accepting requests; drain the queue, then stop the
         dispatcher.  Pending futures still complete; a request that
@@ -410,7 +508,7 @@ class BatchingPredictor:
                 if req is None:
                     return None
                 self._unqueue(req)
-            if self.deadline_s is None:
+            if self.deadline_s is None or req.prime:
                 return req
             est = self._est(req.frames)
             if (est is None or self._budget_s(req) >= est
@@ -480,7 +578,8 @@ class BatchingPredictor:
             # override: with an idle pipeline a poisoned estimate must
             # not shed — let the request join this group (or lead the
             # next) so real service times keep flowing into the EWMA.
-            if self.deadline_s is not None and self._busy():
+            if (self.deadline_s is not None and self._busy()
+                    and not nxt.prime):
                 est = self._est(nxt.frames)
                 if est is not None and self._budget_s(nxt) < est:
                     self._shed(nxt)

@@ -294,6 +294,13 @@ def main(argv=None):
     ap.add_argument("--int8-calib", default="",
                     help=".npy of (N, S, S) normalized calibration "
                          "frames: serve int8 (Predictor.quantize)")
+    ap.add_argument("--prime", type=int, nargs=2, default=None,
+                    metavar=("H0", "W0"),
+                    help="raw frame shape to prime with: compiles "
+                         "every dispatch bucket and seeds the service-"
+                         "time model BEFORE accepting traffic, so the "
+                         "deadline machinery bounds latency from the "
+                         "first burst (batching.prime_service_model)")
     args = ap.parse_args(argv)
 
     from awr_tpu.config import JOINT, Config
@@ -319,6 +326,12 @@ def main(argv=None):
                     max_queue=args.max_queue,
                     pipeline_depth=args.pipeline_depth,
                     deadline_margin=args.deadline_margin)
+    if args.prime:
+        # before start(): no client traffic interleaves with priming
+        snap = srv.batcher.prime_service_model(tuple(args.prime))
+        print("primed service model: "
+              + ", ".join(f"b{k}={v * 1e3:.1f}ms"
+                          for k, v in sorted(snap.items())))
     print(f"serving {cfg.net} on {args.host}:{srv.port} "
           f"(int8={hasattr(pred, 'quant')})")
     try:

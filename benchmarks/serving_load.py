@@ -109,6 +109,13 @@ def main():
     ap.add_argument("--deadline-margin", type=float, default=1.0,
                     help="BatchingPredictor deadline_margin for every "
                          "open-loop scenario (recorded per row)")
+    ap.add_argument("--prime", action="store_true",
+                    help="prime_service_model before each open-loop "
+                         "scenario: seeds the per-bucket EWMA with "
+                         "measured service so the deadline machinery "
+                         "is effective from the FIRST group (the r04 "
+                         "cold-model burst transient; recorded per "
+                         "row)")
     ap.add_argument("--out", default="benchmarks/serving_load_r02.jsonl")
     args = ap.parse_args()
 
@@ -347,6 +354,11 @@ def main():
                                max_queue=max_queue,
                                deadline_margin=args.deadline_margin
                                ) as bp:
+            if args.prime:
+                bp.prime_service_model((RAW, RAW))
+            # priming dispatches count in bp's counters; the row
+            # reports the scenario's own dispatch stats
+            d0, f0 = bp.n_dispatches, bp.n_frames
             futures = [None] * n
             sched = []
             done = [0.0] * n  # completion stamps, written by whichever
@@ -398,8 +410,8 @@ def main():
                           if f is not None and not f.exception()]
             n_served = len(served_lat)
             t_end = max(done)
-            n_disp = bp.n_dispatches
-            n_dispatched_frames = bp.n_frames
+            n_disp = bp.n_dispatches - d0
+            n_dispatched_frames = bp.n_frames - f0
             assert shed == bp.n_shed and rejected == bp.n_rejected
         lat_ms = np.asarray(served_lat) * 1e3 if served_lat else \
             np.asarray([float("nan")])
@@ -416,6 +428,7 @@ def main():
             deadline_ms=deadline_ms, max_queue=max_queue,
             pipeline_depth=args.pipeline_depth,
             deadline_margin=args.deadline_margin,
+            primed=bool(args.prime),
             p50_latency_ms=round(float(np.percentile(lat_ms, 50)), 2),
             p99_latency_ms=round(float(np.percentile(lat_ms, 99)), 2),
             mean_latency_ms=round(float(np.mean(lat_ms)), 2),

@@ -511,3 +511,87 @@ def test_pipeline_depth_one_matches_direct(predictor, frames):
     np.testing.assert_allclose(outs, direct, rtol=1e-4, atol=1e-3)
     with pytest.raises(ValueError):
         BatchingPredictor(predictor, pipeline_depth=0)
+
+class _ColdStartStub(_StubPredictor):
+    """Stub whose FIRST dispatch per bucket pays a large 'remote
+    compile' on top of service — the pollution prime_service_model's
+    throwaway dispatch must discard."""
+
+    COMPILE_S = 0.3
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.compiled = set()
+
+    def predict_async(self, imgs, centers, cubes=None):
+        b = self._bucket(len(imgs))
+        first = b not in self.compiled
+        self.compiled.add(b)
+        inner = super().predict_async(imgs, centers, cubes)
+
+        def finalize():
+            if first:
+                time.sleep(self.COMPILE_S)
+            return inner()
+
+        return finalize
+
+
+def test_prime_seeds_every_bucket_and_discards_compile_time():
+    """prime_service_model measures steady-state service per bucket:
+    every executable bucket gets an estimate, and the first-dispatch
+    compile time is NOT in it (the throwaway/reset path)."""
+    stub = _ColdStartStub(overhead_s=0.01, per_frame_s=0.001)
+    bp = BatchingPredictor(stub, max_batch=32, max_wait_ms=0.0,
+                           pipeline_depth=1)
+    try:
+        snap = bp.prime_service_model((IMG, IMG), repeats=2)
+        assert set(snap) == {8, 16, 32}
+        assert stub.compiled == {8, 16, 32}
+        for b, s in sorted(snap.items()):
+            service = 0.01 + b * 0.001
+            assert s >= service * 0.8, (b, s)
+            # a seed that retained the 0.3 s compile would sit >= 0.12
+            # even after two EWMA steps (0.6^2 x 0.3); steady-state
+            # service tops out at 0.042
+            assert s < 0.1, (b, s)
+        assert bp.n_shed == 0 and bp.n_rejected == 0
+    finally:
+        bp.close()
+    with pytest.raises(ValueError):
+        BatchingPredictor(stub).prime_service_model((IMG, IMG),
+                                                    repeats=0)
+
+
+def test_primed_stack_is_latency_bounded_from_the_first_group():
+    """The r04 burst transient: a COLD deadline stack caps nothing
+    until each bucket has been measured.  After priming, the very
+    first group's cap is already the latency-bounded bucket — and
+    priming itself must neither shed nor be rejected by max_queue
+    (its batches exceed it by design)."""
+    from concurrent.futures import Future as _F
+
+    from awr_tpu.batching import _Request
+
+    # service: b8 36 ms, b16 52 ms, b32 84 ms, b64 148 ms
+    stub = _StubPredictor(overhead_s=0.02, per_frame_s=0.002)
+    bp = BatchingPredictor(stub, max_batch=64, max_wait_ms=0.0,
+                           pipeline_depth=1, deadline_ms=130.0,
+                           max_queue=8)
+    try:
+        head = _Request(np.zeros((1, IMG, IMG), np.float32),
+                        np.zeros((1, 3)), None, _F())
+        # cold: no estimate -> the cap falls back to max_batch (this is
+        # the transient: the first burst group convoys)
+        assert bp._cap_frames(head) == 64
+        snap = bp.prime_service_model((IMG, IMG), repeats=1)
+        assert set(snap) == {8, 16, 32, 64}
+        assert bp.n_shed == 0 and bp.n_rejected == 0
+        # primed: a fresh head's group is capped at the largest bucket
+        # whose measured service fits the 130 ms budget (32, since
+        # b64 >= 148 ms can never fit) — before any traffic
+        head2 = _Request(np.zeros((1, IMG, IMG), np.float32),
+                         np.zeros((1, 3)), None, _F())
+        assert bp._cap_frames(head2) == 32
+    finally:
+        bp.close()
