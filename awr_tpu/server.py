@@ -144,6 +144,12 @@ class AWRServer:
                     "frames": server.batcher.n_frames,
                     "shed": server.batcher.n_shed,
                     "rejected": server.batcher.n_rejected,
+                    # measured per-bucket service (ms) driving the
+                    # deadline machinery; {} until traffic or priming
+                    "service_model_ms": {
+                        str(k): round(v * 1e3, 2) for k, v in
+                        server.batcher.service_model.snapshot().items()
+                    },
                 })
 
             def do_POST(self):  # noqa: N802
