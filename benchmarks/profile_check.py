@@ -36,17 +36,13 @@ INNER = 8
 HBM_PEAK_GBS = 819.0  # v5e datasheet HBM bandwidth
 
 
-def per_op_table(trace_dir: str, inner: int = INNER, top: int = 12,
-                 peak_flops: float | None = None):
-    """Aggregate the device trace into a per-op speed-of-light table.
-
-    Parses the Perfetto JSON the profiler writes (XLA Ops track):
-    every op event carries ``model_flops`` and ``bytes_accessed``, so
-    each row gets an achieved-TFLOPS / achieved-GB/s and the binding
-    resource, automating the hand-built BENCH_NOTES_r02.md table.
-    Durations are divided by ``inner`` (the chained-scan iteration
-    count) to report per-iteration cost.
-    """
+def _trace_op_agg(trace_dir: str, inner: int = INNER):
+    """Parse the Perfetto JSON the profiler writes into one dict per
+    distinct XLA op (device "XLA Ops" track only): summed duration,
+    instance count, and the per-instance ``model_flops`` /
+    ``bytes_accessed`` the trace carries.  Shared by the per-op table
+    and the aggregate-floor summary; returns ``(agg, total_us)`` where
+    total_us is the enclosing while/jit span if present."""
     import collections
     import glob
     import gzip
@@ -54,7 +50,7 @@ def per_op_table(trace_dir: str, inner: int = INNER, top: int = 12,
     fs = sorted(glob.glob(os.path.join(
         trace_dir, "**", "*.trace.json.gz"), recursive=True))
     if not fs:
-        return []
+        return {}, 0.0
     data = json.load(gzip.open(fs[-1]))
     events = data.get("traceEvents", [])
     dev_pid = {e["pid"] for e in events
@@ -84,6 +80,59 @@ def per_op_table(trace_dir: str, inner: int = INNER, top: int = 12,
                                    a.get("bytes_accessed", 0)) or 0)
         row["cat"] = a.get("hlo_category", "")
         row["op"] = a.get("tf_op", "").split("/")[-1].rstrip(":")
+    return agg, total_us
+
+
+def aggregate_floors(trace_dir: str, inner: int = INNER,
+                     peak_flops: float | None = None):
+    """Whole-graph speed-of-light floors from a committed device trace
+    (offline — no chip needed).  Three numbers per iteration:
+
+    - ``hbm_floor_ms``: total bytes / HBM peak — the wall if every
+      byte moved at full bandwidth and nothing else mattered.
+    - ``mxu_floor_ms``: total FLOPs / chip peak — same for compute.
+    - ``roofline_floor_ms``: sum over ops of max(op bytes / HBM peak,
+      op FLOPs / chip peak) — the honest per-op lower bound, since an
+      op bound by one resource cannot simultaneously saturate the
+      other.  ``sum_op_ms / roofline_floor_ms`` is the remaining
+      graph-level headroom factor (1.0 = every op at its own roof).
+    """
+    agg, _ = _trace_op_agg(trace_dir, inner)
+    peak = peak_flops or 197e12
+    gb = gf = roof_s = sum_op_s = 0.0
+    for r in agg.values():
+        reps = max(r["n"] // inner, 1)
+        fl = r["flops"] * reps
+        by = r["bytes"] * reps
+        gb += by / 1e9
+        gf += fl / 1e9
+        roof_s += max(by / (HBM_PEAK_GBS * 1e9), fl / peak)
+        sum_op_s += r["dur"] / inner * 1e-6
+    if not agg:
+        return {}
+    return dict(
+        trace_dir=trace_dir, inner=inner, n_ops=len(agg),
+        gb_per_iter=round(gb, 2), gflops_per_iter=round(gf, 1),
+        sum_op_ms=round(sum_op_s * 1e3, 2),
+        hbm_floor_ms=round(gb / HBM_PEAK_GBS * 1e3, 2),
+        mxu_floor_ms=round(gf / (peak / 1e9) * 1e3, 2),
+        roofline_floor_ms=round(roof_s * 1e3, 2),
+        headroom=round(sum_op_s / max(roof_s, 1e-12), 3),
+    )
+
+
+def per_op_table(trace_dir: str, inner: int = INNER, top: int = 12,
+                 peak_flops: float | None = None):
+    """Aggregate the device trace into a per-op speed-of-light table.
+
+    Parses the Perfetto JSON the profiler writes (XLA Ops track):
+    every op event carries ``model_flops`` and ``bytes_accessed``, so
+    each row gets an achieved-TFLOPS / achieved-GB/s and the binding
+    resource, automating the hand-built BENCH_NOTES_r02.md table.
+    Durations are divided by ``inner`` (the chained-scan iteration
+    count) to report per-iteration cost.
+    """
+    agg, total_us = _trace_op_agg(trace_dir, inner)
     peak = peak_flops or 197e12
     rows = []
     for name, r in sorted(agg.items(), key=lambda kv: -kv[1]["dur"]):
@@ -296,7 +345,17 @@ def main():
                     help="batch size for --train")
     ap.add_argument("--infer-batch", type=int, default=BATCH,
                     help="batch size for the inference triangulation")
+    ap.add_argument("--floors", action="store_true",
+                    help="OFFLINE: print whole-graph HBM/MXU/roofline "
+                         "floors from an existing --trace-dir (no chip "
+                         "needed; --floors-inner sets the chained "
+                         "iteration count the trace was taken with)")
+    ap.add_argument("--floors-inner", type=int, default=INNER)
     args = ap.parse_args()
+    if args.floors:
+        print(json.dumps(aggregate_floors(args.trace_dir,
+                                          inner=args.floors_inner)))
+        return
     if args.train:
         profile_train(args.trace_dir, batch=args.train_batch,
                       net=args.net)
