@@ -144,10 +144,18 @@ class AWRServer:
                     "frames": server.batcher.n_frames,
                     "shed": server.batcher.n_shed,
                     "rejected": server.batcher.n_rejected,
-                    # measured per-bucket service (ms) driving the
-                    # deadline machinery; {} until traffic or priming
+                    # measured per-(bucket, frame-shape) service (ms)
+                    # driving the deadline machinery; {} until traffic
+                    # or priming.  p90 (mean + 1.28 sigma) is what the
+                    # budget/cap/shed math runs on.
                     "service_model_ms": {
-                        str(k): round(v * 1e3, 2) for k, v in
+                        (str(b) if shape is None
+                         else f"{b}@{shape[0]}x{shape[1]}"): {
+                            "mean": round(st["mean_s"] * 1e3, 2),
+                            "p90": round(st["p90_s"] * 1e3, 2),
+                            "n": st["n"],
+                        }
+                        for (b, shape), st in
                         server.batcher.service_model.snapshot().items()
                     },
                 })
@@ -333,11 +341,20 @@ def main(argv=None):
                     pipeline_depth=args.pipeline_depth,
                     deadline_margin=args.deadline_margin)
     if args.prime:
-        # before start(): no client traffic interleaves with priming
+        # before start(): no client traffic interleaves with priming.
+        # Cost: one remote compile per NEW bucket (~1-2 min each on the
+        # tunneled chip) + repeats measured dispatches — prime_stats
+        # below prints the measured split (DESIGN.md §9 knob 7).
         snap = srv.batcher.prime_service_model(tuple(args.prime))
-        print("primed service model: "
+        print("primed service model (p90): "
               + ", ".join(f"b{k}={v * 1e3:.1f}ms"
                           for k, v in sorted(snap.items())))
+        print(f"priming cost: {srv.batcher.prime_stats['total_s']:.1f}s "
+              f"total; per bucket first(compile)/measure s: "
+              + ", ".join(
+                  f"b{b}={d['first_s']:.1f}/{d['measure_s']:.1f}"
+                  for b, d in sorted(
+                      srv.batcher.prime_stats['per_bucket'].items())))
     print(f"serving {cfg.net} on {args.host}:{srv.port} "
           f"(int8={hasattr(pred, 'quant')})")
     try:

@@ -178,21 +178,30 @@ def batches_from_dataset(dataset, batch_size: int = 32,
     return out
 
 
-def int8_holdout_loss(cfg: Config, quant,
-                      batches: Sequence[Dict[str, np.ndarray]],
-                      *candidates) -> list:
-    """Mean int8-graph eval-mode loss over labeled HOLDOUT batches for
-    each ``(params, batch_stats)`` candidate; returns one float per
-    candidate.
+def int8_holdout_metrics(cfg: Config, quant,
+                         batches: Sequence[Dict[str, np.ndarray]],
+                         *candidates) -> list:
+    """Int8-graph eval-mode metrics over labeled HOLDOUT batches for
+    each ``(params, batch_stats)`` candidate; returns one
+    ``{"loss", "joint_err"}`` dict per candidate.
 
-    The validation metric for fallback-guarded QAT
+    The validation metrics for fallback-guarded QAT
     (:meth:`awr_tpu.serving.Predictor.quantize_qat` with
     ``holdout_batches``): scored with the SAME frozen scales before and
-    after the fine-tune, on data the fine-tune never saw, it decides
+    after the fine-tune, on data the fine-tune never saw, they decide
     whether QAT actually helped — the round-4 resnet_50 run showed a
     budget rule alone cannot be trusted to know
     (runs/convergence_qat_resnet50_r04.json: 'gap-scaled' QAT scored
     +1.1 mm WORSE than plain PTQ held-out).
+
+    ``joint_err`` is the gate metric (VERDICT r4 weak-7): mean
+    per-joint L2 error of the DECODED joints in normalized uvd space —
+    the linear proxy for the mm MPE every accuracy claim in the
+    evidence grid is stated in (evaluation.py de-normalizes uvd by
+    per-sample affine + cube scaling, both fixed across candidates).
+    ``loss`` (the smooth-L1 training objective) is recorded alongside
+    for provenance: a fine-tune can overfit loss while regressing
+    joint error — exactly the failure the gate must catch.
 
     All candidates share ONE jitted eval step (params are call
     arguments, not compile-time constants), so comparing PTQ vs QAT
@@ -212,10 +221,26 @@ def int8_holdout_loss(cfg: Config, quant,
     ]
     out = []
     for params, batch_stats in candidates:
-        tot, n = 0.0, 0
+        tot_loss, tot_err, n = 0.0, 0.0, 0
         for batch in dev_batches:
             m = step(params, batch_stats, batch)
-            tot += float(m["loss"]) * len(batch["img"])
-            n += len(batch["img"])
-        out.append(tot / max(n, 1))
+            nb = len(batch["img"])
+            err = np.linalg.norm(
+                np.asarray(m["jt_uvd_pred"], np.float64)
+                - np.asarray(batch["jt_uvd"], np.float64), axis=-1)
+            tot_loss += float(m["loss"]) * nb
+            tot_err += float(err.mean()) * nb
+            n += nb
+        out.append(dict(loss=tot_loss / max(n, 1),
+                        joint_err=tot_err / max(n, 1)))
     return out
+
+
+def int8_holdout_loss(cfg: Config, quant,
+                      batches: Sequence[Dict[str, np.ndarray]],
+                      *candidates) -> list:
+    """Back-compat wrapper over :func:`int8_holdout_metrics`: mean
+    eval-mode LOSS per candidate.  The QAT fallback gate itself scores
+    ``joint_err`` (the mm proxy), not this."""
+    return [m["loss"] for m in
+            int8_holdout_metrics(cfg, quant, batches, *candidates)]

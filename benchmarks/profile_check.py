@@ -96,17 +96,29 @@ def aggregate_floors(trace_dir: str, inner: int = INNER,
       op bound by one resource cannot simultaneously saturate the
       other.  ``sum_op_ms / roofline_floor_ms`` is the remaining
       graph-level headroom factor (1.0 = every op at its own roof).
+
+    Async-copy handling (r05 fix): ``copy-start``/``copy-done`` pairs
+    are XLA's overlapped-DMA bookkeeping — the trace charges the SAME
+    copy's bytes to both halves with ~zero duration, so counting them
+    in the serial roofline both double-counts the bytes and charges
+    serial time for a transfer that by construction overlaps compute
+    (the r02_train trace 'beat' its own roofline by 3.6% that way —
+    a physics violation that exposed the bug).  Their bytes count
+    ONCE (the copy-done half) toward the aggregate HBM totals, and
+    neither half contributes a serial roofline term.
     """
     agg, _ = _trace_op_agg(trace_dir, inner)
     peak = peak_flops or 197e12
     gb = gf = roof_s = sum_op_s = 0.0
-    for r in agg.values():
+    for name, r in agg.items():
         reps = max(r["n"] // inner, 1)
         fl = r["flops"] * reps
         by = r["bytes"] * reps
-        gb += by / 1e9
+        if not name.startswith("copy-start"):
+            gb += by / 1e9
         gf += fl / 1e9
-        roof_s += max(by / (HBM_PEAK_GBS * 1e9), fl / peak)
+        if not name.startswith(("copy-start", "copy-done")):
+            roof_s += max(by / (HBM_PEAK_GBS * 1e9), fl / peak)
         sum_op_s += r["dur"] / inner * 1e-6
     if not agg:
         return {}

@@ -69,12 +69,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-RAW = 160  # raw camera frame side
-PARAS = (200.0, 200.0, 80.0, 80.0)  # fx fy cx cy matched to RAW
+RAW = 160  # raw camera frame side (override with --raw)
+PARAS = (200.0, 200.0, 80.0, 80.0)  # fx fy cx cy matched to RAW=160
 FLIP = -1
 
 
 def main():
+    global RAW
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--net", default="resnet_18")
     ap.add_argument("--img-size", type=int, default=128)
@@ -116,8 +117,18 @@ def main():
                          "is effective from the FIRST group (the r04 "
                          "cold-model burst transient; recorded per "
                          "row)")
+    ap.add_argument("--raw", type=int, default=RAW,
+                    help="raw camera frame side (recorded per row; "
+                         "service on this transport is upload-bound, "
+                         "so capacity depends on it)")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the int8 graph (Predictor.quantize on "
+                         "synthetic calibration frames — service TIME "
+                         "is what this benchmark measures, accuracy is "
+                         "proven elsewhere); recorded per row")
     ap.add_argument("--out", default="benchmarks/serving_load_r02.jsonl")
     args = ap.parse_args()
+    RAW = args.raw
 
     def parse_knob(k):
         parts = k.split(":")
@@ -156,6 +167,19 @@ def main():
     pred = Predictor(cfg, {"params": v["params"],
                            "batch_stats": v["batch_stats"]},
                      paras=PARAS, flip=FLIP)
+    if args.int8:
+        # synthetic calibration: the int8 EXECUTABLE (and therefore its
+        # service time, which is what every row here measures) does not
+        # depend on the calibration values
+        calib_rng = np.random.RandomState(1)
+        pred.quantize(calib_rng.uniform(
+            -1, 1, (64, args.img_size, args.img_size)
+        ).astype(np.float32))
+
+    # every row carries the stack it measured: the SLO surface is
+    # family- and frame-shape-dependent (VERDICT r4 weak-3)
+    provenance = dict(net=args.net, int8=bool(args.int8),
+                      img_size=args.img_size, raw=[RAW, RAW])
 
     salt = int.from_bytes(os.urandom(4), "little") / 2.0**32
     rng = np.random.RandomState(0)
@@ -262,7 +286,8 @@ def main():
     if args.http:
         srv.batcher.max_wait_s = args.max_wait_ms / 1000.0
     lin = linearity(w1, w2, "sequential")
-    rows.append(dict(mode=prefix + "sequential", requests=3 * n_seq,
+    rows.append(dict(mode=prefix + "sequential", **provenance,
+                     requests=3 * n_seq,
                      wall_s=round(w1 + w2, 3),
                      served_fps=round(3 * n_seq / (w1 + w2), 1),
                      mean_latency_ms=round(1000 * (w1 + w2)
@@ -318,7 +343,8 @@ def main():
         lin = linearity(w1, w2, f"{prefix}batched_c{conc}")
         served = conc * 2 * per_client
         rows.append(dict(
-            mode=f"{prefix}batched_c{conc}", requests=served,
+            mode=f"{prefix}batched_c{conc}", **provenance,
+            requests=served,
             pipeline_depth=args.pipeline_depth,
             wall_s=round(w2, 3),
             served_fps=round(served / w2, 1),
@@ -354,8 +380,10 @@ def main():
                                max_queue=max_queue,
                                deadline_margin=args.deadline_margin
                                ) as bp:
+            prime_s = None
             if args.prime:
                 bp.prime_service_model((RAW, RAW))
+                prime_s = bp.prime_stats["total_s"]
             # priming dispatches count in bp's counters; the row
             # reports the scenario's own dispatch stats
             d0, f0 = bp.n_dispatches, bp.n_frames
@@ -421,7 +449,8 @@ def main():
         saturated = bool(behind > 0.25 / qps * n
                          or served_qps < 0.9 * qps)
         return dict(
-            mode="openloop", qps_offered=qps,
+            mode="openloop", **provenance, prime_s=prime_s,
+            qps_offered=qps,
             qps_achieved=round(served_qps, 1), requests=n,
             served=n_served, shed=shed, rejected=rejected,
             max_wait_ms=wait_ms, max_batch=max_batch,

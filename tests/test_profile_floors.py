@@ -21,10 +21,12 @@ sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
 from profile_check import aggregate_floors  # noqa: E402
 
 TRACES = [
-    # (dir, inner, expected gb/iter, expected gflops/iter)
-    ("runs/trace_r02", 8, 4.05, 913.9),           # resnet_18 b128 bf16
-    ("runs/trace_r04_hg", 8, 51.24, 5810.6),      # hourglass_1 b512
-    ("runs/trace_r04_hg_train", 8, 69.3, 4432.0),  # hourglass_1 train b128
+    # (dir, inner, expected gb/iter, expected gflops/iter) — gb counts
+    # each async copy-start/copy-done DMA once (aggregate_floors r05)
+    ("runs/trace_r02", 8, 4.00, 913.9),           # resnet_18 b128 bf16
+    ("runs/trace_r02_train", 8, 22.05, 2753.5),   # resnet_18 train b128
+    ("runs/trace_r04_hg", 8, 50.99, 5810.6),      # hourglass_1 b512
+    ("runs/trace_r04_hg_train", 8, 68.56, 4431.6),  # hourglass_1 train b128
 ]
 
 

@@ -395,6 +395,10 @@ def test_validated_qat_falls_back_when_worse():
     pred.quantize_qat([tune], steps=5, lr=50.0,  # deliberately ruinous
                       holdout_batches=[holdout])
     assert pred.qat_validation["fell_back"] is True
+    # the GATE metric is normalized joint error (the mm proxy), with
+    # the loss recorded alongside for provenance
+    assert (pred.qat_validation["qat_joint_err"]
+            > pred.qat_validation["ptq_joint_err"])
     assert (pred.qat_validation["qat_loss"]
             > pred.qat_validation["ptq_loss"])
     # the served weights are the ORIGINAL (PTQ) ones
@@ -412,3 +416,41 @@ def test_validated_qat_falls_back_when_worse():
                        holdout_batches=[tune])  # validate on tune set:
     # the fine-tune optimizes exactly this objective, so it must help
     assert pred2.qat_validation["fell_back"] is False
+
+
+def test_validated_qat_gates_on_joint_err_not_loss(monkeypatch):
+    """Adversarial case (VERDICT r4 weak-7): a fine-tune that IMPROVES
+    the smooth-L1 loss held-out while REGRESSING joint error must still
+    fall back — the r02 aggressive hourglass run was loss-down/mm-up in
+    character, and a loss-scored gate would have passed it.  The
+    holdout scorer is stubbed to return exactly that adversarial
+    outcome; the gate must key on joint_err."""
+    import awr_tpu.training.qat as qat_mod
+    from awr_tpu.config import Config
+    from awr_tpu.serving import Predictor
+
+    cfg = Config(net="resnet_18", kernel_size=1.0, img_size=32,
+                 jt_num=14, use_pallas=False)
+    fp = build_model(cfg.net, cfg.jt_num, cfg.downsample)
+    g = np.random.RandomState(7)
+    tune = {"img": g.uniform(-1, 1, (4, 32, 32)).astype(np.float32),
+            "jt_uvd": g.uniform(-0.8, 0.8,
+                                (4, 14, 3)).astype(np.float32)}
+    v = fp.init(KEY, jnp.asarray(tune["img"])[..., None], train=True)
+    pred = Predictor(cfg, dict(v))
+    params_before = jax.device_get(pred.params)
+
+    monkeypatch.setattr(
+        qat_mod, "int8_holdout_metrics",
+        lambda *a, **k: [dict(loss=1.0, joint_err=0.10),    # PTQ
+                         dict(loss=0.5, joint_err=0.20)])   # QAT:
+    # loss improved 2x, joint error doubled -> must fall back
+    pred.quantize_qat([tune], steps=2, lr=1e-4,
+                      holdout_batches=[tune])
+    assert pred.qat_validation["fell_back"] is True
+    assert pred.qat_validation["qat_loss"] < \
+        pred.qat_validation["ptq_loss"]
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(pred.params))):
+        np.testing.assert_array_equal(a, b)

@@ -56,3 +56,85 @@ def test_resume_equals_straight_run(tmp_path):
 
     for a, c in zip(pa, pc):
         np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------
+# Multi-host checkpoint TOPOLOGY-CHANGE resume (VERDICT r4 next-7):
+# save under N processes, resume under M != N — the Orbax sharding-
+# metadata trap every pod deployment hits on its first resize.  The
+# framework's CheckpointManager host-materializes before saving, which
+# is what makes the artifact topology-portable; these tests prove that
+# contract across REAL jax.distributed process boundaries.
+# ---------------------------------------------------------------------
+
+def _run_topology_children(tmp_path, nproc, phase, ckpt_dir, tag):
+    """Launch ``nproc`` jax.distributed child processes over the same 4
+    global CPU devices; returns their parsed result dicts."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        coord = f"localhost:{s.getsockname()[1]}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(repo, "tests", "multihost_topology_child.py")
+    ndev_local = 4 // nproc
+    env = dict(os.environ,
+               XLA_FLAGS=f"--xla_force_host_platform_device_count="
+                         f"{ndev_local}",
+               PYTHONPATH=repo + os.pathsep + os.environ.get(
+                   "PYTHONPATH", ""))
+    outs = [str(tmp_path / f"{tag}_p{i}.json") for i in range(nproc)]
+    procs = [subprocess.Popen(
+        [sys.executable, child, coord, str(nproc), str(i), outs[i],
+         str(ckpt_dir), phase],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(nproc)]
+    logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"{tag}: {log[-3000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
+def _assert_matches_control(results, control, *, rtol=1e-4):
+    for r in results:
+        np.testing.assert_allclose(r["losses"], control["losses"][2:],
+                                   rtol=1e-5)
+        for part in ("params", "stats"):
+            assert r[part].keys() == control[part].keys()
+            for k in control[part]:
+                np.testing.assert_allclose(
+                    r[part][k], control[part][k], rtol=rtol, atol=1e-6,
+                    err_msg=f"{part}:{k}")
+
+
+def test_checkpoint_topology_change_resume(tmp_path):
+    """Save under 2 processes -> resume under 1, and save under 1 ->
+    resume under 2: both must reproduce the uninterrupted control's
+    step-3/4 losses and final params/BN fingerprints."""
+    control = _run_topology_children(
+        tmp_path, 1, "full", tmp_path / "unused", "control")[0]
+    assert len(control["losses"]) == 4
+
+    # 2-process save -> 1-process resume
+    ck21 = tmp_path / "ck21"
+    savers = _run_topology_children(tmp_path, 2, "save", ck21, "save2")
+    for r in savers:
+        np.testing.assert_allclose(r["losses"], control["losses"][:2],
+                                   rtol=1e-5)
+    resumed = _run_topology_children(tmp_path, 1, "resume", ck21,
+                                     "resume1")
+    _assert_matches_control(resumed, control)
+
+    # 1-process save -> 2-process resume
+    ck12 = tmp_path / "ck12"
+    _run_topology_children(tmp_path, 1, "save", ck12, "save1")
+    resumed = _run_topology_children(tmp_path, 2, "resume", ck12,
+                                     "resume2")
+    _assert_matches_control(resumed, control)
+    # and the two resumed processes agree exactly with each other
+    assert resumed[0]["params"] == resumed[1]["params"]
+    assert resumed[0]["stats"] == resumed[1]["stats"]

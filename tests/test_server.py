@@ -74,11 +74,14 @@ def test_healthz(server):
     h = _get(server, "/healthz")
     assert h["ok"] and h["net"] == "resnet_18" and h["jt_num"] == 14
     assert h["int8"] is False
-    # per-bucket service model (ms): a dict, populated once the
+    # per-(bucket, frame-shape) service model (ms): a dict of
+    # {"bucket@HxW": {"mean", "p90", "n"}}, populated once the
     # completer has measured at least one dispatched group
     assert isinstance(h["service_model_ms"], dict)
     if server.batcher.n_dispatches:
-        assert all(v > 0 for v in h["service_model_ms"].values())
+        for st in h["service_model_ms"].values():
+            assert st["mean"] > 0 and st["p90"] >= st["mean"]
+            assert st["n"] >= 1
 
 
 def test_predict_matches_direct(server, predictor, frames):
