@@ -35,6 +35,20 @@ exactly such data movement).
 The dequant epilogue (int32 -> f32 * s_in*s_w[oc] -> compute dtype) is
 fused into the kernel, so the op consumes int8 activations and emits
 the same tensor the XLA int8 path does.
+
+STATUS — measured and REJECTED from the hot path (r05, closing the
+int8 question permanently; BENCH_NOTES_r05.md §2 and
+benchmarks/pallas_int8_r05.jsonl).  The kernel is bit-exact but ~35%
+slower than XLA's conv spelling at every decoder shape, and the
+same-process control probes prove no dot-based spelling can ever win:
+a PURE int8 matmul at the polyphase shape (M=131072, K=1024, N=256)
+runs at 16.8 TOPS in Pallas and 17.1 via XLA dot_general — the MXU's
+double int8 rate exists only at large square shapes (125 TOPS at
+8192³ same day) and collapses with small N, which conv decompositions
+of this decoder inherently produce.  XLA's bf16-rate conv emitter is
+the best available spelling; int8's real value stays halved HBM
+traffic (BENCH_NOTES_r03.md §2).  The kernel and its exactness tests
+remain as the repo's worked int8-Pallas example.
 """
 
 from __future__ import annotations
