@@ -46,23 +46,25 @@ throughput becomes NON-monotone in offered load (offered 75 qps ->
 independent:
 
 - ``deadline_ms``: per-request latency budget (submit -> resolve).
-  The dispatcher keeps a mean+variance EWMA service-time model keyed
-  by (power-of-two bucket, frame shape) (measured by the completer)
-  and (a) caps each group so the ~p90 predicted service + ~p90
-  predicted in-flight pipeline work fits the OLDEST member's
-  remaining budget — groups stay small enough to meet the SLO instead
-  of convoying, and under overload the cap lands on a bucket boundary
-  so no upload is wasted on padding rows; the cap is RE-CHECKED at
-  dispatch time, after the grace wait, so a group never dispatches
-  against a budget that went stale while it coalesced; (b) SHEDS
-  requests that can no longer make their deadline even dispatched
-  alone (their future fails with :class:`DeadlineExceeded`) — the
-  queue cannot grow a latency debt that every later request inherits.
-  Estimating at ~p90 (mean + 1.28 sigma) instead of the mean is what
-  tightens the tail: the r04 mean-EWMA stack served p99 at 1.44x the
-  deadline because per-group service VARIANCE blew the tail the mean
-  could not see (BENCH_NOTES_r04.md §3); shape keying stops a 640x480
-  stream from poisoning a co-served 128x128 stream's estimates.
+  The dispatcher keeps a windowed service-time model keyed by
+  (power-of-two bucket, frame shape) (measured by the completer) and
+  (a) caps each group so the **~p90** predicted service + predicted
+  in-flight pipeline work fits the OLDEST member's remaining budget —
+  groups stay small enough to meet the SLO instead of convoying, and
+  under overload the cap lands on a bucket boundary so no upload is
+  wasted on padding rows; the cap is RE-CHECKED at dispatch time,
+  after the grace wait, so a group never dispatches against a budget
+  that went stale while it coalesced; (b) SHEDS requests whose budget
+  cannot cover even the **mean** service dispatched alone (their
+  future fails with :class:`DeadlineExceeded`) — the queue cannot
+  grow a latency debt that every later request inherits.  The
+  mean/p90 split is measured, not stylistic (BENCH_NOTES_r05.md §3):
+  capping on the mean under-provisions exactly when service variance
+  blows the tail (r04's p99 landed at 1.44x the deadline), while
+  SHEDDING on the p90 converted "might miss in the worst decile"
+  into dropping 31% of below-saturation traffic.  Shape keying stops
+  a 640x480 stream from poisoning a co-served 128x128 stream's
+  estimates.
 - ``max_queue``: admission control — bound on QUEUED frames (excludes
   the <= ``max_batch`` frames the dispatcher holds and the <=
   ``(pipeline_depth + 2) * max_batch`` in the dispatch pipeline);
@@ -125,23 +127,41 @@ class _ServiceModel:
     640x480 stream sharing the stack with 128x128 clients must not
     poison the smaller stream's estimates (VERDICT r4 weak-2).
 
-    The budget/cap/shed math runs on :meth:`quantile` — a ~p90
-    estimate ``mean + Z90 * std`` — not the mean: a mean estimator
-    systematically under-predicts when per-group service VARIANCE is
-    what blows the tail (the r04 sustained-overload run landed served
-    p99 at 1.44x the deadline off the mean EWMA; BENCH_NOTES_r04.md
-    §3).  Variance uses the standard EWMA update
-    ``v <- (1-a) * (v + a * d^2)`` with ``d = x - mean_old``.
+    Two statistics per key, consumed by DIFFERENT decisions (measured
+    rationale in BENCH_NOTES_r05.md §3):
+
+    - :meth:`estimate` — the windowed MEDIAN (typical case).  Drives
+      the SHED decision and the in-flight sum: shedding on a tail
+      statistic was measured to shed 31% of below-saturation traffic
+      (the r05 first-cut p90 shed rule), because it converts "might
+      miss in the worst decile" into a drop; and a median, unlike a
+      window mean, recovers within two sane observations after one
+      pathological spike.
+    - :meth:`quantile` — the windowed empirical ~p90.  Drives the
+      group-size CAP: a mean-sized group under-provisions exactly when
+      per-group service variance blows the tail (the r04 mean model
+      landed served p99 at 1.44x the deadline), and capping is cheap —
+      a too-small group costs a little coalescing efficiency, not a
+      dropped request.
+
+    Statistics come from a RING WINDOW of recent observations (not a
+    Gaussian mean+variance EWMA): this transport's service times are
+    spiky — a single multi-hundred-ms stall inflates an EWMA variance
+    for many observations, and the Gaussian p90 then over-estimates
+    for a long decay; an empirical window quantile weighs the outlier
+    as one sample of WINDOW and recovers as it slides out.
     """
 
-    ALPHA = 0.4   # fast-moving: the transport dominates and drifts
-    Z90 = 1.2816  # standard-normal 90th percentile
+    WINDOW = 32   # ring size per key; responsive yet spike-robust
+    Z90 = 1.2816  # normal 90th pct, used only to fold variances of
+    #               SUMS of in-flight groups back into a spread term
+    Q = 0.90      # cap quantile
 
     def __init__(self, bucket_fn):
         self._bucket = bucket_fn
-        # key (bucket, shape) -> [mean_s, var_s2, n_obs]; shape is an
-        # (H, W) tuple or None when the caller does not know it
-        self._s: Dict[tuple, list] = {}
+        # key (bucket, shape) -> ring of recent service seconds; shape
+        # is an (H, W) tuple or None when the caller does not know it
+        self._s: Dict[tuple, "collections.deque"] = {}
         self._lock = threading.Lock()
 
     @staticmethod
@@ -155,14 +175,11 @@ class _ServiceModel:
     def observe(self, frames: int, seconds: float, shape=None) -> None:
         key = (self._bucket(int(frames)), self._shape_key(shape))
         with self._lock:
-            ent = self._s.get(key)
-            if ent is None:
-                self._s[key] = [float(seconds), 0.0, 1]
-                return
-            d = float(seconds) - ent[0]
-            ent[0] += self.ALPHA * d
-            ent[1] = (1 - self.ALPHA) * (ent[1] + self.ALPHA * d * d)
-            ent[2] += 1
+            ring = self._s.get(key)
+            if ring is None:
+                ring = self._s[key] = collections.deque(
+                    maxlen=self.WINDOW)
+            ring.append(float(seconds))
 
     def reset(self, frames: int, shape=None) -> None:
         """Forget the observation for ``frames``'s padded bucket (used
@@ -173,72 +190,84 @@ class _ServiceModel:
             self._s.pop(key, None)
 
     def _stats(self, frames: int, shape) -> Optional[tuple]:
-        """(mean_s, var_s2) for (frames, shape), or None when cold.
+        """(mean_s, p90_s, var_s2) for (frames, shape), None when cold.
 
         Unmeasured keys extrapolate from the nearest measured one —
         preferring SAME-shape keys (scaled linearly in frames, the
         upload-bandwidth-bound regime; conservative for the
         compute-bound one), else cross-shape scaled by frames x pixel
         ratio.  Scaling DOWN is floored at half the measured value:
-        dispatch overhead does not shrink with the batch.  Variance
-        scales by the square of the mean's factor (a scaled service
-        distribution scales its std by the same factor)."""
+        dispatch overhead does not shrink with the batch.  Quantile
+        and std scale by the mean's factor (a scaled distribution
+        scales every quantile by the same factor)."""
         b = self._bucket(int(frames))
         sk = self._shape_key(shape)
         with self._lock:
             if not self._s:
                 return None
-            ent = self._s.get((b, sk))
-            if ent is not None:
-                return ent[0], ent[1]
-            same = {k: v for k, v in self._s.items() if k[1] == sk}
-            pool = same or self._s
+            ring = self._s.get((b, sk))
+            if ring is not None:
+                ratio = 1.0
+            else:
+                same = {k: v for k, v in self._s.items()
+                        if k[1] == sk}
+                pool = same or self._s
 
-            def ratio_from(key):
-                # service ~ bucket x pixels on an upload-bound
-                # transport; when either shape is unknown (None) the
-                # pixel factor is unknowable — scale by frames only
-                r = b / key[0]
-                if sk is not None and key[1] is not None:
-                    r *= self._pixels(sk) / self._pixels(key[1])
-                return r
+                def ratio_from(key):
+                    # service ~ bucket x pixels on an upload-bound
+                    # transport; when either shape is unknown (None)
+                    # the pixel factor is unknowable — frames only
+                    r = b / key[0]
+                    if sk is not None and key[1] is not None:
+                        r *= self._pixels(sk) / self._pixels(key[1])
+                    return r
 
-            kb = min(pool, key=lambda kk: abs(np.log(ratio_from(kk))))
-            mean, var, _ = pool[kb]
-            ratio = ratio_from(kb)
+                kb = min(pool,
+                         key=lambda kk: abs(np.log(ratio_from(kk))))
+                ring = pool[kb]
+                ratio = ratio_from(kb)
+            xs = np.asarray(ring, np.float64)
         f = max(ratio, 0.5)
-        return mean * f, var * f * f
+        # MEDIAN, not mean, as the central statistic: one pathological
+        # observation (a transport stall, a mis-measured compile)
+        # shifts a window mean for WINDOW observations, but the median
+        # recovers after two sane ones — and the shed decision keyed
+        # on it must not storm for a whole window after one spike
+        med = float(np.quantile(xs, 0.5))
+        p90 = float(np.quantile(xs, self.Q)) if len(xs) > 1 else med
+        var = float(xs.var())
+        return med * f, max(p90, med) * f, var * f * f
 
     def estimate(self, frames: int, shape=None) -> Optional[float]:
-        """MEAN service-seconds estimate (reporting / in-flight sums;
-        the budget math uses :meth:`quantile`)."""
+        """Windowed MEDIAN service-seconds estimate — the SHED
+        decision and in-flight sums run on this (class docstring)."""
         st = self._stats(frames, shape)
         return None if st is None else st[0]
 
     def quantile(self, frames: int, shape=None) -> Optional[float]:
-        """~p90 service estimate: ``mean + Z90 * std``.  Equals the
-        mean until a key has accumulated spread (first observation
-        seeds variance 0), so cold behavior matches the r04 model."""
-        st = self._stats(frames, shape)
-        if st is None:
-            return None
-        return st[0] + self.Z90 * float(np.sqrt(max(st[1], 0.0)))
-
-    def variance(self, frames: int, shape=None) -> Optional[float]:
+        """Windowed empirical ~p90 service estimate — the group-size
+        CAP runs on this (class docstring)."""
         st = self._stats(frames, shape)
         return None if st is None else st[1]
 
+    def variance(self, frames: int, shape=None) -> Optional[float]:
+        st = self._stats(frames, shape)
+        return None if st is None else st[2]
+
     def snapshot(self) -> Dict[tuple, dict]:
-        """{(bucket, shape): {'mean_s', 'p90_s', 'n'}} for every
+        """{(bucket, shape): {'p50_s', 'p90_s', 'n'}} for every
         measured key (healthz stringifies the tuple keys)."""
         with self._lock:
-            return {
-                k: dict(mean_s=v[0],
-                        p90_s=v[0] + self.Z90 * float(
-                            np.sqrt(max(v[1], 0.0))),
-                        n=v[2])
-                for k, v in self._s.items()
-            }
+            keys = list(self._s)
+        out = {}
+        for k in keys:
+            st = self._stats(k[0], k[1])
+            if st is None:
+                continue
+            with self._lock:
+                n = len(self._s.get(k, ()))
+            out[k] = dict(p50_s=st[0], p90_s=st[1], n=n)
+        return out
 
 
 class _Request:
@@ -311,11 +340,11 @@ class BatchingPredictor:
         # (never the measurements).  History: with the r04 scalar
         # mean-EWMA model, sustained overload landed served p99 at
         # 1.44x the deadline and margin ~1.4 was the blunt fix
-        # (BENCH_NOTES_r04.md §3); the model now estimates at ~p90
-        # (mean + 1.28 sigma), which is the statistically honest
-        # version of that margin, so 1.0 (default) is the right
-        # setting — keep the knob for workloads whose service tail is
-        # heavier than ~1.3 sigma.
+        # (BENCH_NOTES_r04.md §3); the r05 model caps groups on a
+        # windowed empirical p90 instead, which is the statistically
+        # honest version of that margin, so 1.0 (default) is the
+        # right setting — keep the knob for service tails heavier
+        # than the window quantile captures.
         self.deadline_margin = float(deadline_margin)
         self.max_queue = None if max_queue is None else int(max_queue)
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
@@ -609,8 +638,20 @@ class BatchingPredictor:
             return self._inflight_groups > 0
 
     def _est(self, frames: int, shape=None) -> Optional[float]:
-        """Margin-scaled ~p90 service estimate for budget/cap/shed
-        math (measurements are never scaled)."""
+        """Margin-scaled MEAN service estimate — the SHED decision
+        runs on this (measurements are never scaled).  Shedding on a
+        tail statistic was measured to drop 31% of below-saturation
+        traffic (BENCH_NOTES_r05.md §3): 'might miss in the worst
+        decile' must not become a drop."""
+        e = self.service_model.estimate(frames, shape)
+        return None if e is None else e * self.deadline_margin
+
+    def _est_p90(self, frames: int, shape=None) -> Optional[float]:
+        """Margin-scaled ~p90 service estimate — the group-size CAP
+        runs on this: a mean-sized group under-provisions exactly when
+        service variance blows the tail (r04's 1.44x-deadline p99),
+        and a too-small cap costs coalescing efficiency, not a
+        dropped request."""
         e = self.service_model.quantile(frames, shape)
         return None if e is None else e * self.deadline_margin
 
@@ -656,7 +697,7 @@ class BatchingPredictor:
         b = self._p._bucket(1)  # smallest bucket the Predictor pads to
         top = self._p._bucket(self.max_batch)
         while True:
-            est = self._est(b, shape)
+            est = self._est_p90(b, shape)
             if est is None:
                 return None  # cold: no model yet
             if est > budget:

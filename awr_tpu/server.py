@@ -146,12 +146,12 @@ class AWRServer:
                     "rejected": server.batcher.n_rejected,
                     # measured per-(bucket, frame-shape) service (ms)
                     # driving the deadline machinery; {} until traffic
-                    # or priming.  p90 (mean + 1.28 sigma) is what the
-                    # budget/cap/shed math runs on.
+                    # or priming.  The shed decision runs on p50 (the
+                    # windowed median), the group-size cap on p90.
                     "service_model_ms": {
                         (str(b) if shape is None
                          else f"{b}@{shape[0]}x{shape[1]}"): {
-                            "mean": round(st["mean_s"] * 1e3, 2),
+                            "p50": round(st["p50_s"] * 1e3, 2),
                             "p90": round(st["p90_s"] * 1e3, 2),
                             "n": st["n"],
                         }

@@ -75,12 +75,12 @@ def test_healthz(server):
     assert h["ok"] and h["net"] == "resnet_18" and h["jt_num"] == 14
     assert h["int8"] is False
     # per-(bucket, frame-shape) service model (ms): a dict of
-    # {"bucket@HxW": {"mean", "p90", "n"}}, populated once the
+    # {"bucket@HxW": {"p50", "p90", "n"}}, populated once the
     # completer has measured at least one dispatched group
     assert isinstance(h["service_model_ms"], dict)
     if server.batcher.n_dispatches:
         for st in h["service_model_ms"].values():
-            assert st["mean"] > 0 and st["p90"] >= st["mean"]
+            assert st["p50"] > 0 and st["p90"] >= st["p50"]
             assert st["n"] >= 1
 
 
