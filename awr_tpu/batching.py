@@ -716,7 +716,15 @@ class BatchingPredictor:
         """Latency-bounded group size: the largest frame count whose
         padded bucket's predicted service fits the head's (= oldest
         member's) remaining budget.  Before any measurement (or without
-        a deadline) falls back to max_batch."""
+        a deadline) falls back to max_batch.
+
+        The cap is FLOORED at the smallest padded bucket: the
+        Predictor pads every group up to ``_bucket(1)`` rows, so a
+        1-frame group costs exactly what a bucket-full group costs —
+        capping below the bucket gains zero latency and was measured
+        to collapse degraded-transport throughput to 2.6
+        frames/dispatch (serving_open_r05.jsonl, the B1b defended-250
+        row; BENCH_NOTES_r05.md §3)."""
         if self.deadline_s is None:
             return self.max_batch
         cap = self._cap_for(self._budget_s(head), self._shape_of(head))
@@ -724,7 +732,8 @@ class BatchingPredictor:
             return self.max_batch  # cold: no model yet
         # the head itself always dispatches (it passed the shed check;
         # a zero cap here just means the model moved under it)
-        return min(max(cap, head.frames), self.max_batch)
+        return min(max(cap, head.frames, self._p._bucket(1)),
+                   self.max_batch)
 
     def _drain(self) -> Tuple[List[_Request], bool]:
         """Collect the next group: block for the first request, then
@@ -830,6 +839,9 @@ class BatchingPredictor:
         cap = self._cap_for(self._budget_s(head), self._shape_of(head))
         if cap is None:
             return group  # cold model
+        # same smallest-bucket floor as _cap_frames: below it a
+        # smaller group costs identical padded service
+        cap = max(cap, self._p._bucket(1))
         frames, keep = 0, []
         for i, r in enumerate(group):
             if keep and frames + r.frames > cap:

@@ -10,7 +10,13 @@ int8 ``dot_general`` on the same chip reaches 212 TOPS (1.08x the
 bf16 peak, benchmarks/int8_probe_r03.jsonl).  Re-spelling the big
 deconv as stacked-K dot_generals was tried and measured SLOWER than
 the conv spelling (9.07 ms vs 5.98 ms — the stacked input copy and
-K=1024 matmul rate eat the win; same probe file).  So on current
+K=1024 matmul rate eat the win; same probe file).  Round 5 closed the
+question at the KERNEL level too: a Pallas polyphase im2col-in-VMEM
+int8 deconv (ops/pallas_int8.py) is bit-exact but ~35% slower, and
+same-day control probes showed the int8 dot rate itself collapses to
+~17 TOPS at the skinny (M, 1024, 256) shapes conv decompositions
+produce — no user-level spelling can reach the double-rate path
+(BENCH_NOTES_r05.md §2).  So on current
 XLA, int8's real value for conv nets is halved HBM traffic: +26%
 end-to-end at batch 512 (15,721 fps vs 12,492 bf16), not 2x.  Full
 analysis: BENCH_NOTES_r03.md.  Scheme:

@@ -121,6 +121,14 @@ def main():
                     help="raw camera frame side (recorded per row; "
                          "service on this transport is upload-bound, "
                          "so capacity depends on it)")
+    ap.add_argument("--skip-closed-loop", action="store_true",
+                    help="run ONLY the open-loop scenarios (skips the "
+                         "sequential + concurrency closed-loop rows "
+                         "and their linearity gates — for re-measuring "
+                         "open-loop rows on an erratic transport day "
+                         "without a closed-loop stall aborting the "
+                         "run; open-loop rows carry their own "
+                         "saturation accounting)")
     ap.add_argument("--int8", action="store_true",
                     help="serve the int8 graph (Predictor.quantize on "
                          "synthetic calibration frames — service TIME "
@@ -275,25 +283,26 @@ def main():
         return time.perf_counter() - t0
 
     n_seq = args.sequential_requests
-    if args.http:
-        # a lone request would otherwise pay the full max_wait_ms
-        # coalescing window per call, conflating batcher wait with the
-        # HTTP/JSON overhead this row is meant to isolate (ADVICE r2);
-        # restored before the concurrent scenarios below
-        srv.batcher.max_wait_s = 0.0
-    w1 = run_sequential(n_seq)
-    w2 = run_sequential(2 * n_seq)  # 2x-work linearity gate
-    if args.http:
-        srv.batcher.max_wait_s = args.max_wait_ms / 1000.0
-    lin = linearity(w1, w2, "sequential")
-    rows.append(dict(mode=prefix + "sequential", **provenance,
-                     requests=3 * n_seq,
-                     wall_s=round(w1 + w2, 3),
-                     served_fps=round(3 * n_seq / (w1 + w2), 1),
-                     mean_latency_ms=round(1000 * (w1 + w2)
-                                           / (3 * n_seq), 2),
-                     linearity=lin))
-    print(json.dumps(rows[-1]))
+    if not args.skip_closed_loop:
+        if args.http:
+            # a lone request would otherwise pay the full max_wait_ms
+            # coalescing window per call, conflating batcher wait with
+            # the HTTP/JSON overhead this row is meant to isolate
+            # (ADVICE r2); restored before the concurrent scenarios
+            srv.batcher.max_wait_s = 0.0
+        w1 = run_sequential(n_seq)
+        w2 = run_sequential(2 * n_seq)  # 2x-work linearity gate
+        if args.http:
+            srv.batcher.max_wait_s = args.max_wait_ms / 1000.0
+        lin = linearity(w1, w2, "sequential")
+        rows.append(dict(mode=prefix + "sequential", **provenance,
+                         requests=3 * n_seq,
+                         wall_s=round(w1 + w2, 3),
+                         served_fps=round(3 * n_seq / (w1 + w2), 1),
+                         mean_latency_ms=round(1000 * (w1 + w2)
+                                               / (3 * n_seq), 2),
+                         linearity=lin))
+        print(json.dumps(rows[-1]))
 
     # ---- concurrent closed-loop clients through the batching layer
     def run_batched(conc, per_client):
@@ -334,7 +343,7 @@ def main():
                 lambda: bp.submit(frame(), center).result(timeout=600),
                 lambda: bp.n_dispatches, lambda: bp.n_frames)
 
-    for conc in args.concurrency:
+    for conc in (args.concurrency if not args.skip_closed_loop else []):
         per_client = max(1, args.requests // conc)
         w1, _, _, _ = run_batched(conc, per_client)
         # linearity gate: 2x requests per client must take ~2x wall

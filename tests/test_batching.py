@@ -445,13 +445,14 @@ def test_dispatch_time_budget_recheck_shrinks_stale_group():
             kept = bp._recheck_budget(list(group))
             assert kept == group and not bp._held
             # stale head: 250 ms old leaves a 50 ms budget; even b8
-            # (80 ms) does not fit -> cap 0, head-only (liveness), the
-            # rest deferred to held in order
+            # (80 ms) does not fit -> cap 0, floored to the smallest
+            # padded bucket (8: a smaller group costs identical padded
+            # service), the rest deferred to held in order
             group = [req(i) for i in range(10)]
             group[0].t_arrival -= 0.25
             kept = bp._recheck_budget(list(group))
-            assert kept == [group[0]]
-            assert list(bp._held) == group[1:]
+            assert kept == group[:8]
+            assert list(bp._held) == group[8:]
             bp._held.clear()
             # half-stale head: 120 ms old leaves 180 ms; b16 fits
             # (160 ms) but b32 (320 ms) does not -> group of 20 single-
@@ -472,6 +473,29 @@ def test_dispatch_time_budget_recheck_shrinks_stale_group():
         for r in bp._held:
             r.future.cancel()
         bp._held.clear()
+    finally:
+        bp.close()
+
+
+def test_cap_never_drops_below_smallest_bucket():
+    """The latency cap floors at _bucket(1): the Predictor pads every
+    group to that size, so a smaller group costs IDENTICAL padded
+    service — capping below it collapsed degraded-transport
+    throughput to 2.6 frames/dispatch for zero latency gain (the r05
+    B1b defended-250 row)."""
+    from concurrent.futures import Future as _F
+
+    from awr_tpu.batching import _Request
+
+    stub = _StubPredictor(per_frame_s=0.01)  # b8 = 80 ms service
+    bp = BatchingPredictor(stub, max_batch=64, max_wait_ms=0.0,
+                           pipeline_depth=1, deadline_ms=300.0)
+    try:
+        shape = (IMG, IMG)
+        bp.service_model.observe(8, 0.08, shape)
+        head = _Request(_stub_frame(0)[None], _CENTER[None], None, _F())
+        head.t_arrival -= 0.28  # 20 ms budget left: est(8) never fits
+        assert bp._cap_frames(head) == 8  # floored, not 1
     finally:
         bp.close()
 
