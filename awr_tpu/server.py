@@ -314,7 +314,11 @@ def main(argv=None):
                          "every dispatch bucket and seeds the service-"
                          "time model BEFORE accepting traffic, so the "
                          "deadline machinery bounds latency from the "
-                         "first burst (batching.prime_service_model)")
+                         "first burst (batching.prime_service_model). "
+                         "Measured cost: ~10-12 s at max-batch 256 "
+                         "with warm executables; ~1-2 min per NEW "
+                         "bucket executable on a cold compile cache "
+                         "(DESIGN.md s9 knob 7)")
     args = ap.parse_args(argv)
 
     from awr_tpu.config import JOINT, Config
