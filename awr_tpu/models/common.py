@@ -189,6 +189,17 @@ def max_pool_torch(x, kernel: int, stride: int, padding: int):
 
 
 def upsample_nearest_2x(x):
-    """torch nn.Upsample(scale_factor=2, mode='nearest') on NHWC."""
-    x = jnp.repeat(x, 2, axis=1)
-    return jnp.repeat(x, 2, axis=2)
+    """torch nn.Upsample(scale_factor=2, mode='nearest') on NHWC.
+
+    Spelled as ONE broadcast_in_dim to (N,H,2,W,2,C) + reshape rather
+    than two sequential ``jnp.repeat`` calls: repeat-per-axis lowers to
+    two materialized HBM broadcasts with the (N,2H,W,C) intermediate
+    written and re-read (~3.6 GB/iter of broadcast traffic in the
+    batch-512 hourglass trace, runs/trace_r04_hg).  The single-op
+    spelling halves the upsample's HBM traffic on this bandwidth-bound
+    family and fuses better with the consumer skip-add.  Numerically
+    identical (pure data movement).
+    """
+    n, h, w, c = x.shape
+    y = jax.lax.broadcast_in_dim(x, (n, h, 2, w, 2, c), (0, 1, 3, 5))
+    return y.reshape(n, 2 * h, 2 * w, c)
