@@ -114,3 +114,24 @@ def test_hourglass_stacks_differ_and_jit():
     assert out.shape == (2, 1, 32, 32, 56)
     # the two stacks carry different heads -> different predictions
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_upsample_nearest_2x_matches_repeat_spelling():
+    """The single-broadcast upsample (BENCH_NOTES_r05.md §4) must stay
+    bit-identical to torch nn.Upsample(scale_factor=2, mode='nearest')
+    semantics, i.e. the two-``jnp.repeat`` spelling it replaced — the
+    respelling is a pure HBM-traffic optimization, never a numerics
+    change."""
+    from awr_tpu.models.common import upsample_nearest_2x
+
+    x = jnp.asarray(
+        np.random.RandomState(7).randn(2, 3, 5, 4).astype(np.float32))
+    ref = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    got = upsample_nearest_2x(x)
+    assert got.shape == (2, 6, 10, 4)
+    assert bool(jnp.all(got == ref))
+    # odd sizes and bf16 too (the hourglass runs bf16 on chip)
+    xb = x.astype(jnp.bfloat16)[:, :3, :5]
+    assert bool(jnp.all(
+        upsample_nearest_2x(xb)
+        == jnp.repeat(jnp.repeat(xb, 2, axis=1), 2, axis=2)))

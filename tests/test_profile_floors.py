@@ -27,6 +27,10 @@ TRACES = [
     ("runs/trace_r02_train", 8, 22.05, 2753.5),   # resnet_18 train b128
     ("runs/trace_r04_hg", 8, 50.99, 5810.6),      # hourglass_1 b512
     ("runs/trace_r04_hg_train", 8, 68.56, 4431.6),  # hourglass_1 train b128
+    # hourglass_1 b512 after the single-broadcast upsample respelling
+    # (BENCH_NOTES_r05.md §4): -1.42 GB/iter vs trace_r04_hg
+    ("runs/trace_r05_hg", 8, 49.57, 5810.6),
+    ("runs/trace_r05_hg_train", 8, 68.01, 4431.6),  # train, same respelling
 ]
 
 
