@@ -19,6 +19,7 @@ stack at train.py:116-121 — see Config.supervise_all_stacks).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -26,8 +27,44 @@ from awr_tpu.models.common import (
     TorchConv,
     batch_norm,
     max_pool_torch,
+    torch_conv_bias_init,
+    torch_conv_kernel_init,
     upsample_nearest_2x,
 )
+
+
+class _ConvParams(nn.Module):
+    """Declares a 1x1 conv's kernel/bias with nn.Conv's exact param
+    names, shapes, and torch-default inits — WITHOUT running the conv.
+    Instantiated as ``name='Conv_0'`` inside :class:`_HeadBranchParams`
+    so the param path ('out_vec0/Conv_0/kernel', ...) is byte-for-byte
+    the one :class:`TorchConv` would create: torch weight import,
+    Orbax checkpoints, and the int8 QuantConv swap (same 'Conv_0'
+    path) are all unaffected by the fused-head compute path."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kshape = (1, 1, self.in_features, self.features)
+        k = self.param("kernel", torch_conv_kernel_init(), kshape,
+                       jnp.float32)
+        b = self.param("bias", torch_conv_bias_init(kshape),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _HeadBranchParams(nn.Module):
+    """Param-owner shim for one output-head branch (vec or ht)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.features, self.in_features,
+                           name="Conv_0")()
 
 
 class ConvBlock(nn.Module):
@@ -165,11 +202,32 @@ class PoseNet(nn.Module):
                 self.inp_dim, 1, bn=True, relu=True, dtype=self.dtype,
                 quant_mode=qm, name=f"feature_conv{i}",
             )(feature, train)
-            vec = TorchConv(self.joint_num * 3, 1, dtype=self.dtype,
-                            name=f"out_vec{i}")(feature)
-            ht = TorchConv(self.joint_num, 1, dtype=self.dtype,
-                           name=f"out_ht{i}")(feature)
-            pred = jnp.concatenate([vec, ht], axis=-1)
+            # Fused output head: ONE 1x1 conv with the vec/ht kernels
+            # concatenated on the output-channel axis (57 KB of weight
+            # concat) instead of two convs + an output concatenate.
+            # Mathematically identical — output channels are
+            # independent dot products over the same 256-ch input —
+            # but reads the (B,F,F,256) feature map ONCE instead of
+            # twice and skips the materialized (B,F,F,4J) concat:
+            # ~2 GB/iter on the batch-512 HBM-bound inference trace
+            # (BENCH_NOTES_r05.md §5).  Param tree unchanged
+            # (_ConvParams docstring).  The head branches were always
+            # fp even under quant_mode='int8'/'qat' (matching the
+            # original per-branch TorchConvs, which never took
+            # quant_mode), so the fusion applies in every mode.
+            kv, bv = _HeadBranchParams(
+                self.joint_num * 3, self.inp_dim,
+                name=f"out_vec{i}")()
+            kh, bh = _HeadBranchParams(
+                self.joint_num, self.inp_dim, name=f"out_ht{i}")()
+            k = jnp.concatenate([kv, kh], axis=-1)
+            b = jnp.concatenate([bv, bh])
+            f_in, k, b = nn.dtypes.promote_dtype(
+                feature, k, b, dtype=self.dtype)
+            pred = jax.lax.conv_general_dilated(
+                f_in, k, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
             preds.append(pred.astype(jnp.float32))
             if i < self.nstack - 1:
                 # Intermediate re-injection (reference :162-163).

@@ -31,6 +31,9 @@ TRACES = [
     # (BENCH_NOTES_r05.md §4): -1.42 GB/iter vs trace_r04_hg
     ("runs/trace_r05_hg", 8, 49.57, 5810.6),
     ("runs/trace_r05_hg_train", 8, 68.01, 4431.6),  # train, same respelling
+    # + fused vec/ht output head (BENCH_NOTES_r05.md §5): one 1x1 conv
+    # over concatenated kernels, one read of the 256-ch feature map
+    ("runs/trace_r05_hg_head", 8, 48.07, 5810.7),
 ]
 
 
