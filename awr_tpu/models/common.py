@@ -7,6 +7,8 @@ requirement for bit-parity under torch weight import.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +62,42 @@ def torch_conv_bias_init(kernel_shape):
         return random.uniform(key, shape, dtype, -bound, bound)
 
     return init
+
+
+class ConvParams(nn.Module):
+    """Declares a conv's kernel/bias with ``nn.Conv``'s exact param
+    names, shapes, and inits — WITHOUT running the conv.
+
+    Used to fuse sibling output-head convs that read the same input
+    (hourglass ``out_vec{i}``/``out_ht{i}``, resnet ``final1``/
+    ``final2``): the caller concatenates the kernels on the
+    output-channel axis and runs ONE ``conv_general_dilated``, so the
+    (B,F,F,256) feature map is read once instead of per-branch and the
+    output concat disappears (~2 GB/iter on the batch-512 hourglass
+    trace, BENCH_NOTES_r05.md §5).  Because flax derives param RNG
+    from the module path and this module declares the same
+    ``<name>/{kernel,bias}`` leaves ``nn.Conv`` would, init draws,
+    torch weight import, and Orbax checkpoints are all byte-identical
+    to the unfused spelling."""
+
+    features: int
+    in_features: int
+    kernel: int = 1
+    use_bias: bool = True
+    kernel_init: Any = None  # default: torch Conv2d kaiming-uniform
+    bias_init: Any = None    # default: torch Conv2d bias uniform
+
+    @nn.compact
+    def __call__(self):
+        kshape = (self.kernel, self.kernel, self.in_features,
+                  self.features)
+        kinit = self.kernel_init or torch_conv_kernel_init()
+        binit = self.bias_init or torch_conv_bias_init(kshape)
+        k = self.param("kernel", kinit, kshape, jnp.float32)
+        if not self.use_bias:
+            return k, None
+        b = self.param("bias", binit, (self.features,), jnp.float32)
+        return k, b
 
 
 class TorchConv(nn.Module):

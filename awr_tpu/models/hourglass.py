@@ -24,21 +24,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from awr_tpu.models.common import (
+    ConvParams,
     TorchConv,
     batch_norm,
     max_pool_torch,
-    torch_conv_bias_init,
-    torch_conv_kernel_init,
     upsample_nearest_2x,
 )
 
 
-class _ConvParams(nn.Module):
-    """Declares a 1x1 conv's kernel/bias with nn.Conv's exact param
-    names, shapes, and torch-default inits — WITHOUT running the conv.
-    Instantiated as ``name='Conv_0'`` inside :class:`_HeadBranchParams`
-    so the param path ('out_vec0/Conv_0/kernel', ...) is byte-for-byte
-    the one :class:`TorchConv` would create: torch weight import,
+class _HeadBranchParams(nn.Module):
+    """Param-owner shim for one output-head branch (vec or ht):
+    nests :class:`~awr_tpu.models.common.ConvParams` as ``Conv_0`` so
+    the param path ('out_vec0/Conv_0/kernel', ...) is byte-for-byte
+    the one :class:`TorchConv` would create — torch weight import,
     Orbax checkpoints, and the int8 QuantConv swap (same 'Conv_0'
     path) are all unaffected by the fused-head compute path."""
 
@@ -47,24 +45,8 @@ class _ConvParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        kshape = (1, 1, self.in_features, self.features)
-        k = self.param("kernel", torch_conv_kernel_init(), kshape,
-                       jnp.float32)
-        b = self.param("bias", torch_conv_bias_init(kshape),
-                       (self.features,), jnp.float32)
-        return k, b
-
-
-class _HeadBranchParams(nn.Module):
-    """Param-owner shim for one output-head branch (vec or ht)."""
-
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        return _ConvParams(self.features, self.in_features,
-                           name="Conv_0")()
+        return ConvParams(self.features, self.in_features,
+                          name="Conv_0")()
 
 
 class ConvBlock(nn.Module):
@@ -211,7 +193,7 @@ class PoseNet(nn.Module):
             # twice and skips the materialized (B,F,F,4J) concat:
             # ~2 GB/iter on the batch-512 HBM-bound inference trace
             # (BENCH_NOTES_r05.md §5).  Param tree unchanged
-            # (_ConvParams docstring).  The head branches were always
+            # (ConvParams docstring).  The head branches were always
             # fp even under quant_mode='int8'/'qat' (matching the
             # original per-branch TorchConvs, which never took
             # quant_mode), so the fusion applies in every mode.

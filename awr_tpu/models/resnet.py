@@ -202,7 +202,14 @@ class ResNetDeconv(nn.Module):
             x = batch_norm(train, self.dtype, f"deconv_bn{i}")(x)
             x = nn.relu(x)
 
-        # Heads (reference :52-53, 108-115): N(0,.001) weights, zero bias.
+        # Heads (reference :52-53, 108-115): N(0,.001) weights, zero
+        # bias.  Deliberately NOT fused into one conv (unlike the
+        # hourglass head, BENCH_NOTES_r05.md §5): here XLA already
+        # multi-output-fuses the two convs (the deconv output is read
+        # once), and a fused 56-ch output forces non-tile-aligned
+        # channel slices in the decode consumer — measured +2% op
+        # time (runs/trace_r05_resnet vs trace_r02: slice.19 +
+        # copy.47 = 0.59 ms/iter of new data formatting).
         head = dict(
             kernel_init=normal_001(),
             bias_init=nn.initializers.zeros,
