@@ -34,6 +34,7 @@ TRACES = [
     # + fused vec/ht output head (BENCH_NOTES_r05.md §5): one 1x1 conv
     # over concatenated kernels, one read of the 256-ch feature map
     ("runs/trace_r05_hg_head", 8, 48.07, 5810.7),
+    ("runs/trace_r05_hg_train_head", 8, 67.63, 4429.6),  # train, both r05 spellings
 ]
 
 
