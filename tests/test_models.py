@@ -135,3 +135,51 @@ def test_upsample_nearest_2x_matches_repeat_spelling():
     assert bool(jnp.all(
         upsample_nearest_2x(xb)
         == jnp.repeat(jnp.repeat(xb, 2, axis=1), 2, axis=2)))
+
+
+def test_conv_params_shim_matches_nn_conv_exactly():
+    """The fused-head param shim (models/common.ConvParams) must stay
+    byte-for-byte interchangeable with the ``nn.Conv`` it replaces:
+    same param names, shapes, AND the same path-derived RNG draws —
+    that is what keeps torch weight import and Orbax checkpoints
+    oblivious to the fusion (BENCH_NOTES_r05.md §5).  Guards against
+    a future flax change to either param naming or RNG derivation."""
+    from flax import linen as nn
+
+    from awr_tpu.models.common import (ConvParams,
+                                       torch_conv_bias_init,
+                                       torch_conv_kernel_init)
+
+    class ViaConv(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            kshape = (1, 1, x.shape[-1], 5)
+            return nn.Conv(5, (1, 1),
+                           kernel_init=torch_conv_kernel_init(),
+                           bias_init=torch_conv_bias_init(kshape),
+                           name="head")(x)
+
+    class ViaShim(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            k, b = ConvParams(5, x.shape[-1], name="head")()
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    x = jnp.asarray(
+        np.random.RandomState(3).randn(2, 4, 4, 7).astype(np.float32))
+    vc = ViaConv().init(KEY, x)
+    vs = ViaShim().init(KEY, x)
+    pc = {jax.tree_util.keystr(k): v for k, v
+          in jax.tree_util.tree_flatten_with_path(vc)[0]}
+    ps = {jax.tree_util.keystr(k): v for k, v
+          in jax.tree_util.tree_flatten_with_path(vs)[0]}
+    assert set(pc) == set(ps)
+    for k in pc:
+        assert pc[k].shape == ps[k].shape
+        assert bool(jnp.all(pc[k] == ps[k])), k  # same RNG draws
+    # and identical forward under the shared params
+    oc = ViaConv().apply(vc, x)
+    os_ = ViaShim().apply(vc, x)
+    assert float(jnp.max(jnp.abs(oc - os_))) < 1e-6
